@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from p2igan_tpu.data import zarrlite as zl
+
+
+@pytest.mark.parametrize(
+    "compressor",
+    [None, {"id": "zlib", "level": 1}, {"id": "zstd", "level": 3},
+     {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1}],
+)
+def test_roundtrip_compressors(tmp_path, rng, compressor):
+    g = zl.open_group(tmp_path / "s.zarr", mode="w")
+    data = rng.integers(0, 255, size=(50, 32, 32), dtype=np.uint8)
+    arr = g.create_dataset("frames", shape=data.shape, chunks=(20, 32, 32),
+                           dtype="uint8", compressor=compressor, data=data)
+    np.testing.assert_array_equal(arr[:], data)
+    # partial, chunk-crossing window read
+    np.testing.assert_array_equal(arr[15:45, 3:20, 5:30], data[15:45, 3:20, 5:30])
+
+
+def test_group_tree_and_attrs(tmp_path):
+    g = zl.open_group(tmp_path / "s.zarr", mode="w")
+    g.attrs.update({"suggested_window": 20, "note": "hi"})
+    ev = g.create_group("events")
+    e0 = ev.create_group("200001010000")
+    e0.create_dataset("frames", shape=(8, 16, 16), dtype="uint8",
+                      data=np.arange(8 * 16 * 16, dtype=np.uint8).reshape(8, 16, 16))
+    idx = g.create_group("index")
+    idx.create_dataset("windows", shape=(3, 3), dtype="int64",
+                       data=np.array([[0, 0, 8], [0, 1, 7], [0, 2, 6]]))
+
+    r = zl.open(tmp_path / "s.zarr", mode="r")
+    assert r.attrs["suggested_window"] == 20
+    assert r.group_keys() == ["events", "index"]
+    assert list(r["events"].keys()) == ["200001010000"]
+    assert r["events"]["200001010000"]["frames"].shape == (8, 16, 16)
+    assert r["index"]["windows"][1].tolist() == [0, 1, 7]
+    # nested path access like zarr
+    assert r["events/200001010000/frames"][2, 0, 0] == 2 * 256 % 256
+
+
+def test_float_and_fill_value(tmp_path, rng):
+    g = zl.open_group(tmp_path / "s.zarr", mode="w")
+    arr = g.create_dataset("x", shape=(10, 10), chunks=(4, 4), dtype="float32")
+    # untouched chunks read as fill value
+    np.testing.assert_array_equal(arr[:], np.zeros((10, 10), np.float32))
+    vals = rng.normal(size=(10, 10)).astype(np.float32)
+    arr[:] = vals
+    np.testing.assert_array_equal(arr[:], vals)
+    arr[2:5, 3:9] = 7.0
+    vals[2:5, 3:9] = 7.0
+    np.testing.assert_array_equal(arr[...], vals)
+
+
+def test_partial_write_overwrite_mean(tmp_path):
+    """Running-mean update pattern used by multi-pass inference."""
+    g = zl.open_group(tmp_path / "o.zarr", mode="w")
+    a = np.full((4, 8, 8), 2.0, np.float32)
+    ds = g.create_dataset("event_01", shape=a.shape, chunks=a.shape, dtype="float32", data=a)
+    cur = ds[:]
+    new = np.full_like(cur, 4.0)
+    ds[:] = cur + (new - cur) / 2.0
+    np.testing.assert_allclose(g["event_01"][:], 3.0)
+
+
+def test_int_index_squeezes(tmp_path):
+    g = zl.open_group(tmp_path / "s.zarr", mode="w")
+    data = np.arange(24, dtype=np.int32).reshape(2, 3, 4)
+    g.create_dataset("a", shape=data.shape, dtype="int32", data=data)
+    a = zl.open(tmp_path / "s.zarr")["a"]
+    np.testing.assert_array_equal(a[1], data[1])
+    assert a[1, 2, 3] == data[1, 2, 3]
+    assert a[0, :, 1].shape == (3,)

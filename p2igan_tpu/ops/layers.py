@@ -1,0 +1,282 @@
+"""Reusable model layers (flax.linen), TPU-native NHWC.
+
+Re-designs of the reference layer library ``p2igan_bench/modules/layer.py``.
+Activations are channel-last (B, H, W, C); the channel axis preserves the
+reference's torch channel ordering (C = c*t interleavings, grouped convs,
+repeat-interleave duplication) so checkpoints import 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convs import (
+    bilinear_upsample2x_align_corners,
+    conv1d,
+    conv2d,
+    max_pool2d,
+)
+from .doconv import DOConv2d
+
+
+def kaiming_normal_fan_in(key, shape, dtype=jnp.float32):
+    """torch kaiming_normal_(a=0, mode='fan_in') for HWIO kernels.
+
+    (BaseNetwork.init_weights 'kaiming', reference layer.py:31-32.)
+    """
+    fan_in = int(np.prod(shape[:-1]))
+    std = np.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class Conv2dTorch(nn.Module):
+    """Plain conv2d with torch-compatible init and NHWC layout."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = kaiming_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (k, k, self.in_channels // self.groups, self.out_channels),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,)) \
+            if self.use_bias else None
+        return conv2d(x, kernel.astype(x.dtype), stride=self.stride,
+                      padding=self.padding, groups=self.groups,
+                      bias=None if bias is None else bias.astype(x.dtype))
+
+
+class BasicConvDO(nn.Module):
+    """DO-Conv -> (optional ReLU). Reference BasicConv_do (layer.py:68-94).
+
+    ``factored=False`` gives the _eval variant (folded plain kernel).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    relu: bool = True
+    groups: int = 1
+    factored: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = self.kernel_size // 2
+        x = DOConv2d(
+            self.in_channels, self.out_channels, kernel_size=self.kernel_size,
+            stride=self.stride, padding=pad, groups=self.groups,
+            factored=self.factored, name="conv",
+        )(x)
+        if self.relu:
+            x = jax.nn.relu(x)
+        return x
+
+
+class ResBlockDO(nn.Module):
+    """Two 3x3 DO-convs with residual (reference ResBlock_do, layer.py:126-147)."""
+
+    channels: int
+    factored: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = BasicConvDO(self.channels, self.channels, 3, relu=True,
+                        factored=self.factored, name="conv1")(x)
+        y = BasicConvDO(self.channels, self.channels, 3, relu=False,
+                        factored=self.factored, name="conv2")(y)
+        return y + x
+
+
+class ResBlockDOFFT(nn.Module):
+    """Residual block with an rFFT2 spectral branch
+    (reference ResBlock_do_fft_bench, layer.py:150-172; defined but disabled in
+    P2IGenerator — provided for capability parity)."""
+
+    channels: int
+    factored: bool = True
+    fft_groups: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        y = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm="backward")
+        y_f = jnp.concatenate([y.real, y.imag], axis=-1)
+        y_f = BasicConvDO(2 * C, 2 * C, 1, relu=True, groups=self.fft_groups,
+                          factored=self.factored, name="fft1")(y_f)
+        y_f = BasicConvDO(2 * C, 2 * C, 1, relu=False, groups=self.fft_groups,
+                          factored=self.factored, name="fft2")(y_f)
+        y_re, y_im = jnp.split(y_f, 2, axis=-1)
+        y = jnp.fft.irfft2(jax.lax.complex(y_re, y_im), s=(H, W), axes=(1, 2),
+                           norm="backward").astype(x.dtype)
+        z = BasicConvDO(C, C, 3, relu=True, factored=self.factored, name="conv1")(x)
+        z = BasicConvDO(C, C, 3, relu=False, factored=self.factored, name="conv2")(z)
+        return z + x + y
+
+
+def downsample_duplicate_channels(x: jax.Array, length: int) -> jax.Array:
+    """Maxpool-2 + per-frame channel duplication keeping the T grouping.
+
+    Reference DownsampleDuplicateChannels (layer.py:200-214): channels are
+    grouped as [t, c/t]; after pooling, each channel within a frame group is
+    duplicated consecutively, doubling C. x: (B, H, W, C) with C % length == 0.
+    """
+    B, H, W, C = x.shape
+    if C % length != 0:
+        raise ValueError(f"channels {C} must be divisible by {length}")
+    x = max_pool2d(x, 2, 2)
+    per = C // length
+    x = x.reshape(B, H // 2, W // 2, length, per)
+    x = jnp.repeat(x, 2, axis=-1)
+    return x.reshape(B, H // 2, W // 2, C * 2)
+
+
+class LayerNorm2d(nn.Module):
+    """GroupNorm(1, C) over (H, W, C) per sample (reference layer.py:217-223)."""
+
+    channels: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+class STABEDBlock(nn.Module):
+    """norm->relu->conv + norm->conv fusion block (reference layer.py:226-240)."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        a = LayerNorm2d(self.cin, name="norm1")(x)
+        a = Conv2dTorch(self.cin, self.cout, 3, padding=1, name="conv_double")(
+            jax.nn.relu(a))
+        b = LayerNorm2d(self.cin, name="norm2")(x)
+        b = Conv2dTorch(self.cin, self.cout, 3, padding=1, name="conv_single")(b)
+        return a + b
+
+
+class AttentionBlock(nn.Module):
+    """Per-position Conv1d(c, c, k=1) gating: relu(x + x * conv(x)).
+
+    Reference layer.py:296-304. Operating on (N, L, C) channel-last; in the
+    InputBlock, C is the temporal depth D and L == 1, so this is a per-pixel
+    D x D linear gate.
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", kaiming_normal_fan_in, (1, self.channels, self.channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        gate = conv1d(x, kernel.astype(x.dtype), bias=bias.astype(x.dtype))
+        return jax.nn.relu(x + x * gate)
+
+
+class InputBlock(nn.Module):
+    """Temporal attention + IDW k-NN densification (reference layer.py:307-361).
+
+    Input/mask: (B, H, W, D) with D = C*T channel-last. The reference's
+    per-pixel Conv1d stack is a batched (B*H*W, 1, D) gate — here a plain
+    per-pixel matmul over D — and the per-sample nonzero+IDW Python loop
+    becomes static-shape extract_points + vmap'd blocked IDW (ops/idw.py).
+    Output: (B, H, W, D) densified field.
+    """
+
+    depth: int = 2
+    k: int = 4
+    rho: float = 2.0
+    tau: float = 0.05
+    chunk: int = 16384
+    max_points: int = 2048
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        from .idw import extract_points, idw_3d_knn
+
+        B, H, W, D = x.shape
+        h = x.reshape(B * H * W, 1, D)
+        for i in range(self.depth):
+            h = AttentionBlock(D, name=f"att{i}")(h)
+        h = h.reshape(B, H, W, D)
+
+        # to (B, D, H, W) for the grid ordering (z=t major)
+        vals_dhw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
+        mask_dhw = jnp.transpose(mask, (0, 3, 1, 2))
+
+        def one(m, v):
+            pts, vals, valid = extract_points(m, v, self.max_points)
+            return idw_3d_knn(pts, vals, valid, (D, H, W), k=self.k,
+                              rho=self.rho, tau=self.tau, chunk=self.chunk)
+
+        out = jax.vmap(one)(mask_dhw, vals_dhw)  # (B, D, H, W)
+        return jnp.transpose(out, (0, 2, 3, 1))
+
+
+class UPPos(nn.Module):
+    """Bilinear x2 upsample + learnable per-pixel positional gate + 1x1 proj.
+
+    Reference UPPos (layer.py:384-399): x = up(x); x += x * (2*sigmoid(pos)-1);
+    relu(proj(x)). ``pos`` has the *output* spatial shape (H, W) given at
+    construction (the constructor's H/W args are the post-upsample dims).
+    """
+
+    in_ch: int
+    out_ch: int
+    H: int
+    W: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pos = self.param("pos", nn.initializers.zeros, (1, self.H, self.W, 1))
+        x = bilinear_upsample2x_align_corners(x)
+        gate = 2.0 * jax.nn.sigmoid(pos.astype(x.dtype)) - 1.0
+        x = x + x * gate
+        x = Conv2dTorch(self.in_ch, self.out_ch, 1, padding=0, use_bias=True,
+                        name="proj")(x)
+        return jax.nn.relu(x)
+
+
+class FFTBenchComplexConv(nn.Module):
+    """Spectral-domain MLP (reference fft_bench_complex_conv, layer.py:364-381;
+    unused by shipped models, kept for capability parity)."""
+
+    dim: int
+    dw: float = 1.0
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        hid = int(self.dim * self.dw)
+        y = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm="backward")
+        y = jnp.concatenate([y.real, y.imag], axis=-1)
+        y = Conv2dTorch(2 * C, 2 * hid, 1, use_bias=self.use_bias, name="conv1")(y)
+        y = jax.nn.relu(y)
+        y = Conv2dTorch(2 * hid, 2 * C, 1, use_bias=self.use_bias, name="conv2")(y)
+        y_re, y_im = jnp.split(y, 2, axis=-1)
+        y = jnp.fft.irfft2(jax.lax.complex(y_re, y_im), s=(H, W), axes=(1, 2),
+                           norm="backward")
+        return y.astype(x.dtype)

@@ -1,0 +1,122 @@
+"""DeepKriging (DK) baseline — per-frame spatial Wendland-basis MLP.
+
+Reference ``p2igan_bench/models/dk.py``. TPU-first redesign: the reference
+materializes per-pixel feature vectors ``[phi_s | z_t]`` (B*HW, K_s+79) and
+loops frames in Python (dk.py:191-197). Here the first MLP layer is split
+algebraically — ``feats @ W1 = phi_s @ W1_s + z_t @ W1_z`` — so the (HW, K_s)
+basis matmul is computed once per frame-batch on the MXU, nothing of size
+(B*T*HW, K_s+79) is ever materialized, and frames run under ``lax.scan``
+(bounded memory, static shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.wendland import build_phi_space
+
+
+def _torch_linear_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) -> U(+-1/sqrt(fan_in)).
+
+    shape: (in, out) — stored transposed relative to torch's (out, in).
+    """
+    bound = 1.0 / np.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+class DKMLP(nn.Module):
+    """Shared 100-100-100-1 MLP (reference dk.py:10-24), split first layer.
+
+    Parameters mirror torch Linear stack; ``fc1`` weight has the full
+    (feature_dim, hidden) shape and is sliced by the callers.
+    """
+
+    feature_dim: int
+    hidden_dim: int = 100
+    out_dim: int = 1
+
+    def setup(self):
+        self.fc1 = self.param("fc1", _torch_linear_init, (self.feature_dim, self.hidden_dim))
+        self.b1 = self.param("b1", _torch_linear_init, (1, self.hidden_dim))
+        self.fc2 = self.param("fc2", _torch_linear_init, (self.hidden_dim, self.hidden_dim))
+        self.b2 = self.param("b2", _torch_linear_init, (1, self.hidden_dim))
+        self.fc3 = self.param("fc3", _torch_linear_init, (self.hidden_dim, self.hidden_dim))
+        self.b3 = self.param("b3", _torch_linear_init, (1, self.hidden_dim))
+        self.fc4 = self.param("fc4", _torch_linear_init, (self.hidden_dim, self.out_dim))
+        self.b4 = self.param("b4", _torch_linear_init, (1, self.out_dim))
+
+    def tail(self, h1: jax.Array) -> jax.Array:
+        """Layers 2..4 applied to a pre-activation first-layer output."""
+        h = jax.nn.relu(h1)
+        h = jax.nn.relu(h @ self.fc2 + self.b2[0])
+        h = jax.nn.relu(h @ self.fc3 + self.b3[0])
+        return h @ self.fc4 + self.b4[0]
+
+    def __call__(self, feats: jax.Array) -> jax.Array:
+        return self.tail(feats @ self.fc1 + self.b1[0])
+
+
+def select_visible(x_flat: jax.Array, m_flat: jax.Array, k: int) -> jax.Array:
+    """Gather the k visible pixel values per (b, t) from the mask top-k.
+
+    Reference dk.py:167-170 uses torch.topk(mask, k, sorted=False) — on a 0/1
+    mask with >= k ones the selected *set* is the k observed pixels (order is
+    tie-broken by lowest index here; torch leaves tie order unspecified).
+    x_flat/m_flat: (B, T, HW). Returns (B, T, k). Indices are non-differentiable
+    (reference wraps selection in no_grad).
+    """
+    _, idx = jax.lax.top_k(m_flat, k)
+    idx = jax.lax.stop_gradient(idx)
+    return jnp.take_along_axis(x_flat, idx, axis=2)
+
+
+class DKGenerator(nn.Module):
+    """masked/masks: (B, T, H, W, C) -> preds (B, T, H, W, C); C must be 1."""
+
+    length: int = 16
+    visible_k: int = 79
+    num_basis_space: Tuple[int, ...] = (10, 19, 37, 73)
+    compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Any], length: int | None = None,
+                    **kw) -> "DKGenerator":
+        if length is None:
+            data_cfg = config.get("data_loader") or config.get("data", {}).get("train", {})
+            length = data_cfg.get("sample_length", 16) or 16
+        return cls(length=length, **kw)
+
+    @nn.compact
+    def __call__(self, masked_frames: jax.Array, masks: jax.Array) -> jax.Array:
+        b, t, h, w, c = masked_frames.shape
+        if t != self.length:
+            raise ValueError(f"expected T == {self.length}, got {t}")
+        HW = h * w
+        K_s = sum(self.num_basis_space)
+
+        phi_s = jnp.asarray(build_phi_space(h, w, tuple(self.num_basis_space)))
+        phi_s = phi_s.astype(self.compute_dtype)  # (HW, K_s)
+
+        x_flat = masked_frames[..., 0].reshape(b, t, HW).astype(self.compute_dtype)
+        m_flat = masks[..., 0].reshape(b, t, HW).astype(jnp.float32)
+        z = select_visible(x_flat, m_flat, self.visible_k)  # (B, T, k)
+
+        mlp = DKMLP(feature_dim=K_s + self.visible_k, name="mlp")
+        w1_s = mlp.fc1[:K_s]           # (K_s, hidden)
+        w1_z = mlp.fc1[K_s:]           # (k, hidden)
+        phi_part = phi_s @ w1_s + mlp.b1[0]  # (HW, hidden), frame-invariant
+
+        def frame(carry, z_t):  # z_t: (B, k)
+            h1 = phi_part[None, :, :] + (z_t @ w1_z)[:, None, :]  # (B, HW, hidden)
+            y = mlp.tail(h1)[..., 0]  # (B, HW)
+            return carry, y
+
+        _, ys = jax.lax.scan(frame, None, jnp.swapaxes(z, 0, 1))  # (T, B, HW)
+        out = jnp.swapaxes(ys, 0, 1).reshape(b, t, h, w, 1)
+        return out.astype(jnp.float32)

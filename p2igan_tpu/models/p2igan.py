@@ -1,0 +1,167 @@
+"""P2I-GAN generator and dual-branch temporal discriminator (flax, NHWC).
+
+Re-designs of reference ``p2igan_bench/models/p2igan.py``. Canonical tensor
+API is channel-last: ``(B, T, H, W, C)`` in and out (the reference permutes to
+(B, T, C, H, W); here the dataset layout is kept end-to-end). The channel
+axis after T-flattening preserves torch's ``c*t`` ordering so checkpoints
+import 1:1.
+
+Generator forward (reference p2igan.py:72-112):
+  flatten T into channels -> InputBlock IDW densification -> grouped 3x3 conv
+  + repeat-interleave(4) skip -> 3x DownsampleDuplicateChannels pyramid
+  (64/128/256/512 ch) -> coarse-to-fine EBlock+UPPos decoding (only the x_4
+  skip is additive; x_2 / x_ skips are overwritten, as in the reference) ->
+  1x1 grouped conv to t channels -> tanh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import (
+    BasicConvDO,
+    InputBlock,
+    ResBlockDO,
+    UPPos,
+    downsample_duplicate_channels,
+)
+from ..ops.spectral_norm import SNConv
+
+
+def _data_cfg(config: Dict[str, Any]) -> Dict[str, Any]:
+    return config.get("data_loader") or config["data"]["train"]
+
+
+class EBlock(nn.Module):
+    """num_res x ResBlock_do (reference p2igan.py:176-183)."""
+
+    channels: int
+    num_res: int = 4
+    factored: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i in range(self.num_res):
+            x = ResBlockDO(self.channels, factored=self.factored, name=f"res{i}")(x)
+        return x
+
+
+class P2IGenerator(nn.Module):
+    """Main generator. masked/masks: (B, T, H, W, C) -> preds (B, T, H, W, C)."""
+
+    H: int = 128
+    W: int = 128
+    length: int = 16
+    num_res: int = 4
+    base_channels: int = 64
+    inference: bool = False  # eval variant = folded DO-convs
+    idw_max_points: int = 2048
+    idw_chunk: int = 16384
+    compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Any], inference: bool = False,
+                    **kw) -> "P2IGenerator":
+        data_cfg = _data_cfg(config)
+        length = data_cfg.get("sample_length", 16) or 16
+        model_cfg = config.get("model", {})
+        mask_cfg = data_cfg.get("mask", {})
+        # size the static IDW point budget from the mask type
+        mask_type = mask_cfg.get("type", "sti")
+        H, W = data_cfg["h"], data_cfg["w"]
+        if mask_type in ("sti", "stin"):
+            bs = min(mask_cfg.get("block_sizes", [4]))
+            n_pts = length * (-(-H // bs)) * (-(-W // bs))
+        elif mask_type == "stis":
+            n_pts = length * 256  # gauge masks are sparse; generous static cap
+        else:
+            n_pts = length * H * W // 8
+        max_points = kw.pop("idw_max_points", -(-n_pts // 128) * 128)
+        return cls(H=H, W=W, length=length,
+                   base_channels=model_cfg.get("base_channels", 64),
+                   inference=inference, idw_max_points=max_points, **kw)
+
+    @nn.compact
+    def __call__(self, masked_frames: jax.Array, masks: jax.Array) -> jax.Array:
+        b, t, h, w, c = masked_frames.shape
+        factored = not self.inference
+        base = self.base_channels
+
+        # (B,T,H,W,C) -> (B,H,W,T*C), channel idx = t*C + c (torch c*t order)
+        x_in = jnp.transpose(masked_frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
+        m_in = jnp.transpose(masks, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
+
+        x = InputBlock(depth=2, k=4, rho=2.0, tau=0.05, chunk=self.idw_chunk,
+                       max_points=self.idw_max_points, name="input")(x_in, m_in)
+        x = x.astype(self.compute_dtype)
+
+        x_ = BasicConvDO(t * c, base, 3, relu=False, groups=4, factored=factored,
+                         name="Convsin_0")(x) + jnp.repeat(x, 4, axis=-1)
+        x_2 = downsample_duplicate_channels(x_, t)        # (H/2, 2*base)
+        x_4 = downsample_duplicate_channels(x_2, t)       # (H/4, 4*base)
+        x_8 = downsample_duplicate_channels(x_4, t)       # (H/8, 8*base)
+
+        res1 = EBlock(base * 8, self.num_res, factored, name="Decoder_3")(x_8)
+        res1 = UPPos(base * 8, base * 4, self.H // 4, self.W // 4, name="UP_2")(res1)
+
+        x_4 = x_4 + res1
+        res2 = EBlock(base * 4, self.num_res, factored, name="Decoder_2")(x_4)
+        res2 = UPPos(base * 4, base * 2, self.H // 2, self.W // 2, name="UP_1")(res2)
+
+        # NOTE: reference overwrites the x_2 and x_ skips (p2igan.py:100,105)
+        res3 = EBlock(base * 2, self.num_res, factored, name="Decoder_1")(res2)
+        res3 = UPPos(base * 2, base, self.H, self.W, name="UP_0")(res3)
+
+        z = EBlock(base, self.num_res, factored, name="Decoder_0")(res3)
+        z = BasicConvDO(base, t * c, 1, relu=False, groups=4, factored=factored,
+                        name="ConvsOut_0")(z)
+
+        out = jnp.tanh(z.astype(jnp.float32))  # (B,H,W,T*C)
+        return jnp.transpose(out.reshape(b, h, w, t, c), (0, 3, 1, 2, 4))
+
+
+class P2IDiscriminator(nn.Module):
+    """Dual-branch (2D sequence + 3D spatiotemporal) spectral-norm critic.
+
+    Reference p2igan.py:115-173. x: (B, T, H, W, C) -> logits (B, N).
+    ``update_stats=True`` advances the spectral-norm power iterations
+    (training forwards); pass ``mutable=['spectral']`` then.
+    """
+
+    in_channels: int = 16  # = C * T
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_stats: bool = False) -> jax.Array:
+        b, t, h, w, c = x.shape
+        lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)  # noqa: E731
+
+        # 2D branch over (B, H, W, T*C)
+        y = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
+        y = lrelu(SNConv(t * c, 64, (3, 3), (1, 1), (1, 1), name="d2d_0")(y, update_stats))
+        y = lrelu(SNConv(64, 128, (3, 3), (2, 2), (1, 1), name="d2d_2")(y, update_stats))
+        y = lrelu(SNConv(128, 256, (3, 3), (2, 2), (1, 1), name="d2d_4")(y, update_stats))
+        y = lrelu(SNConv(256, 256, (3, 3), (1, 1), (1, 1), name="d2d_6")(y, update_stats))
+        out2d = SNConv(256, 1, (3, 3), (1, 1), (1, 1), name="d2d_8")(y, update_stats)
+
+        # 3D branch over (B, T, H, W, C)
+        z = lrelu(SNConv(c, 32, (3, 3, 3), (1, 2, 2), (1, 1, 1), name="d3d_0")(x, update_stats))
+        z = lrelu(SNConv(32, 64, (3, 3, 3), (1, 2, 2), (1, 1, 1), name="d3d_2")(z, update_stats))
+        z = lrelu(SNConv(64, 128, (3, 3, 3), (1, 2, 2), (1, 1, 1), name="d3d_4")(z, update_stats))
+        z = lrelu(SNConv(128, 128, (3, 3, 3), (2, 1, 1), (1, 1, 1), name="d3d_6")(z, update_stats))
+        out3d = SNConv(128, 1, (1, 1, 1), (1, 1, 1), (0, 0, 0), name="d3d_8")(z, update_stats)
+        out3d_2d = jnp.mean(out3d, axis=1)  # mean over T' -> (B, H', W', 1)
+
+        if out3d_2d.shape[1:3] != out2d.shape[1:3]:
+            from ..ops.convs import bilinear_resize_align_false
+
+            out3d_2d = bilinear_resize_align_false(out3d_2d, out2d.shape[1:3])
+
+        alpha2d = self.param("alpha2d", nn.initializers.zeros, ())
+        # alpha3d exists in the reference but is unused (p2igan.py:145)
+        self.param("alpha3d", nn.initializers.zeros, ())
+        fused = jax.nn.sigmoid(alpha2d) * out2d + out3d_2d
+        return fused.reshape(b, -1)

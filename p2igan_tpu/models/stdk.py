@@ -1,0 +1,85 @@
+"""Spatio-Temporal DeepKriging (STDK) — adds a 1D temporal Wendland basis.
+
+Reference ``p2igan_bench/models/stdk.py``. Per-(t, pixel) features are
+``[phi_s(K_s) | phi_t(K_t) | z_seq(T*79)]`` through the shared MLP. The
+reference materializes the full (B, T, HW, K_s+K_t+T*79) tensor
+(stdk.py:165-184); here the first layer is decomposed —
+
+    h1 = phi_s @ W_s  (pixel part, shared by all b,t)
+       + phi_t @ W_t  (frame part, shared by all b,pixels)
+       + z_seq @ W_z  (sample part, shared by all t,pixels)  + b1
+
+— three small matmuls plus a broadcast add, then the MLP tail runs per frame
+under ``lax.scan``. Identical math, none of the expanded feature tensor.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.wendland import build_phi_space, build_phi_time, time_basis_count
+from .dk import DKMLP, select_visible
+
+
+class STDKGenerator(nn.Module):
+    """masked/masks: (B, T, H, W, C) -> preds (B, T, H, W, C); C must be 1."""
+
+    length: int = 16
+    visible_k: int = 79
+    num_basis_space: Tuple[int, ...] = (10, 19, 37, 73)
+    num_basis_time: Tuple[int, ...] = (10, 19, 37, 73)
+    compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Any], length: int | None = None,
+                    **kw) -> "STDKGenerator":
+        if length is None:
+            data_cfg = config.get("data_loader") or config.get("data", {}).get("train", {})
+            length = data_cfg.get("sample_length", 16) or 16
+        return cls(length=length, **kw)
+
+    @nn.compact
+    def __call__(self, masked_frames: jax.Array, masks: jax.Array) -> jax.Array:
+        b, t, h, w, c = masked_frames.shape
+        if t != self.length:
+            raise ValueError(f"expected T == {self.length}, got {t}")
+        HW = h * w
+        K_s = sum(self.num_basis_space)
+        K_t = time_basis_count(self.length, tuple(self.num_basis_time))
+
+        phi_s = jnp.asarray(build_phi_space(h, w, tuple(self.num_basis_space)))
+        phi_t = jnp.asarray(build_phi_time(t, tuple(self.num_basis_time)))
+        phi_s = phi_s.astype(self.compute_dtype)
+        phi_t = phi_t.astype(self.compute_dtype)
+
+        x_flat = masked_frames[..., 0].reshape(b, t, HW).astype(self.compute_dtype)
+        m_flat = masks[..., 0].reshape(b, t, HW).astype(jnp.float32)
+        z = select_visible(x_flat, m_flat, self.visible_k)  # (B, T, k)
+        z_seq = z.reshape(b, t * self.visible_k)
+
+        feature_dim = K_s + K_t + t * self.visible_k
+        mlp = DKMLP(feature_dim=feature_dim, name="mlp")
+        w_s = mlp.fc1[:K_s]
+        w_t = mlp.fc1[K_s:K_s + K_t]
+        w_z = mlp.fc1[K_s + K_t:]
+
+        phi_s_part = phi_s @ w_s                    # (HW, hidden)
+        phi_t_part = phi_t @ w_t                    # (T, hidden)
+        z_part = z_seq @ w_z + mlp.b1[0]            # (B, hidden)
+
+        def frame(carry, t_part):  # t_part: (hidden,)
+            h1 = phi_s_part[None] + (z_part + t_part)[:, None, :]  # (B, HW, hidden)
+            y = mlp.tail(h1)[..., 0]
+            return carry, y
+
+        _, ys = jax.lax.scan(frame, None, phi_t_part)  # (T, B, HW)
+        out = jnp.swapaxes(ys, 0, 1).reshape(b, t, h, w, 1)
+        return out.astype(jnp.float32)
+
+
+# Reference alias (stdk.py:279)
+InpaintGenerator = STDKGenerator

@@ -1,0 +1,150 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from p2igan_tpu.models import (
+    DKGenerator,
+    P2IDiscriminator,
+    P2IGenerator,
+    STDKGenerator,
+    SimpleDiscriminator,
+    SimpleGenerator,
+    build_discriminator,
+    build_generator,
+)
+from p2igan_tpu.ops.wendland import build_phi_space, build_phi_time
+
+
+def _batch(rng, b=2, t=4, h=16, w=16, c=1, p_obs=0.1):
+    video = rng.random((b, t, h, w, c)).astype(np.float32)
+    mask = (rng.random((b, t, h, w, c)) < p_obs).astype(np.float32)
+    return jnp.asarray(video * mask), jnp.asarray(mask)
+
+
+def test_simple_generator_discriminator(rng):
+    masked, mask = _batch(rng)
+    gen = SimpleGenerator(base_channels=8)
+    vars_ = gen.init(jax.random.key(0), masked, mask)
+    out = gen.apply(vars_, masked, mask)
+    assert out.shape == masked.shape
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+    # train mode updates batch stats
+    out2, upd = gen.apply(vars_, masked, mask, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in upd
+
+    disc = SimpleDiscriminator(base_channels=8)
+    dvars = disc.init(jax.random.key(1), masked)
+    logits = disc.apply(dvars, masked)
+    assert logits.shape == (2, 1)
+
+
+def test_p2igan_generator_shapes(rng):
+    masked, mask = _batch(rng, t=4, h=16, w=16)
+    gen = P2IGenerator(H=16, W=16, length=4, num_res=1, base_channels=16,
+                       idw_max_points=128, idw_chunk=256)
+    vars_ = gen.init(jax.random.key(0), masked, mask)
+    out = gen.apply(vars_, masked, mask)
+    assert out.shape == masked.shape
+    assert float(jnp.max(jnp.abs(out))) <= 1.0  # tanh range
+
+    # gradient flows
+    def loss(p):
+        return jnp.mean(jnp.abs(gen.apply(p, masked, mask)))
+
+    g = jax.grad(lambda p: loss(p))(vars_)
+    flat = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.max(jnp.abs(x))) > 0 for x in flat)
+
+
+def test_p2igan_discriminator(rng):
+    masked, mask = _batch(rng, t=4, h=16, w=16)
+    disc = P2IDiscriminator(in_channels=4)
+    dvars = disc.init(jax.random.key(0), masked)
+    logits, upd = disc.apply(dvars, masked, update_stats=True, mutable=["spectral"])
+    assert logits.ndim == 2 and logits.shape[0] == 2
+    # power iteration state changed
+    u_before = dvars["spectral"]["d2d_0"]["u"]
+    u_after = upd["spectral"]["d2d_0"]["u"]
+    assert not np.allclose(np.asarray(u_before), np.asarray(u_after))
+
+
+def _naive_mlp(feats, p):
+    h = np.maximum(feats @ p["fc1"] + p["b1"][0], 0)
+    h = np.maximum(h @ p["fc2"] + p["b2"][0], 0)
+    h = np.maximum(h @ p["fc3"] + p["b3"][0], 0)
+    return h @ p["fc4"] + p["b4"][0]
+
+
+def test_dk_matches_naive_concat(rng):
+    """Split-first-layer scan formulation == naive [phi_s | z] concat MLP."""
+    b, t, h, w = 2, 4, 12, 12
+    masked, mask = _batch(rng, b=b, t=t, h=h, w=w, p_obs=0.3)
+    gen = DKGenerator(length=t, visible_k=7, num_basis_space=(4, 6))
+    vars_ = gen.init(jax.random.key(0), masked, mask)
+    out = np.asarray(gen.apply(vars_, masked, mask))
+
+    p = {k: np.asarray(v) for k, v in vars_["params"]["mlp"].items()}
+    phi_s = build_phi_space(h, w, (4, 6))
+    x_flat = np.asarray(masked)[..., 0].reshape(b, t, -1)
+    m_flat = np.asarray(mask)[..., 0].reshape(b, t, -1)
+    ref = np.zeros((b, t, h * w), np.float32)
+    for bi in range(b):
+        for ti in range(t):
+            # top-k of the mask = observed pixels (ascending index tie-break)
+            idx = np.argsort(-m_flat[bi, ti], kind="stable")[:7]
+            z = x_flat[bi, ti][np.sort(idx)] if False else x_flat[bi, ti][idx]
+            feats = np.concatenate(
+                [phi_s, np.broadcast_to(z, (h * w, 7))], axis=1)
+            ref[bi, ti] = _naive_mlp(feats, p)[:, 0]
+    np.testing.assert_allclose(ref.reshape(out.shape), out, atol=2e-4)
+
+
+def test_stdk_matches_naive_concat(rng):
+    b, t, h, w = 1, 4, 10, 10
+    masked, mask = _batch(rng, b=b, t=t, h=h, w=w, p_obs=0.3)
+    gen = STDKGenerator(length=t, visible_k=5, num_basis_space=(4, 6),
+                        num_basis_time=(2, 3))
+    vars_ = gen.init(jax.random.key(0), masked, mask)
+    out = np.asarray(gen.apply(vars_, masked, mask))
+
+    p = {k: np.asarray(v) for k, v in vars_["params"]["mlp"].items()}
+    phi_s = build_phi_space(h, w, (4, 6))
+    phi_t = build_phi_time(t, (2, 3))
+    x_flat = np.asarray(masked)[..., 0].reshape(b, t, -1)
+    m_flat = np.asarray(mask)[..., 0].reshape(b, t, -1)
+    ref = np.zeros((b, t, h * w), np.float32)
+    for bi in range(b):
+        zs = []
+        for ti in range(t):
+            idx = np.argsort(-m_flat[bi, ti], kind="stable")[:5]
+            zs.append(x_flat[bi, ti][idx])
+        z_seq = np.concatenate(zs)
+        for ti in range(t):
+            feats = np.concatenate(
+                [phi_s,
+                 np.broadcast_to(phi_t[ti], (h * w, phi_t.shape[1])),
+                 np.broadcast_to(z_seq, (h * w, z_seq.shape[0]))], axis=1)
+            ref[bi, ti] = _naive_mlp(feats, p)[:, 0]
+    np.testing.assert_allclose(ref.reshape(out.shape), out, atol=2e-4)
+
+
+def test_registry():
+    cfg = {
+        "model": {"name": "p2igan", "in_channels": 1, "base_channels": 64},
+        "data": {"train": {"data_root": "/x", "w": 128, "h": 128, "sample_length": 16,
+                           "mask": {"type": "stis", "block_sizes": [10]}}},
+    }
+    gen = build_generator(cfg)
+    assert isinstance(gen, P2IGenerator)
+    assert gen.length == 16 and gen.H == 128
+    disc = build_discriminator(cfg)
+    assert isinstance(disc, P2IDiscriminator)
+    assert disc.in_channels == 16
+
+    cfg["model"]["name"] = "dk"
+    assert isinstance(build_generator(cfg), DKGenerator)
+    cfg["model"]["name"] = "stdk"
+    assert isinstance(build_generator(cfg), STDKGenerator)
+    cfg["model"]["name"] = "simple"
+    assert isinstance(build_generator(cfg), SimpleGenerator)

@@ -1,0 +1,110 @@
+import numpy as np
+import pytest
+
+from p2igan_tpu.data import fake
+from p2igan_tpu.data.datamodule import Loader, P2IDataModule, collate_pad_last
+from p2igan_tpu.data.stores import EventDataset, ZarrWindowDataset, extract_number
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fakedata")
+    return fake.make_fake_benchmark_tree(root, H=64, W=64, T=12), root
+
+
+def test_extract_number():
+    assert extract_number("202101010000.h5") == 202101010000
+    assert extract_number("event3.h5") == 3
+    assert extract_number("nodigits.dat") == -1
+
+
+def test_event_dataset_h5(tree):
+    paths, root = tree
+    ds = EventDataset({
+        "data_root": str(root / "test_events"), "w": 48, "h": 48,
+        "sample_length": 8,
+        "mask": {"type": "stis", "file": str(paths["gauge_mask"])},
+    })
+    # stis mask is 64x64 while video is 64x64 pre-crop; mask applied pre-crop
+    video, masked, mask = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert video.shape == (8, 48, 48, 1)
+    assert masked.shape == mask.shape == video.shape
+    assert video.dtype == np.float32 and video.max() <= 1.0
+    np.testing.assert_allclose(masked, video * mask)
+
+
+def test_event_dataset_zarr(tree):
+    paths, root = tree
+    ds = EventDataset({
+        "data_root": str(root / "nimrod_test.zarr"), "w": 64, "h": 64,
+        "mask": {"type": "sti", "block_sizes": [8]},
+    })
+    assert len(ds) == 2
+    video, masked, mask = ds.__getitem__(1, rng=np.random.default_rng(1))
+    assert video.shape[1:] == (64, 64, 1)
+    # sti: constant mask across frames
+    assert np.all(mask == mask[0])
+
+
+def test_zarr_window_dataset(tree):
+    paths, root = tree
+    ds = ZarrWindowDataset({
+        "data_root": str(root / "nimrod_train.zarr"), "w": 48, "h": 48,
+        "mask": {"type": "sti", "block_sizes": [8]},
+    })
+    assert len(ds) > 0
+    video, masked, mask = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert video.shape == (20, 48, 48, 1)
+    np.testing.assert_allclose(masked, video * mask)
+    # determinism given the same rng seed
+    v2, m2, k2 = ds.__getitem__(0, rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(video, v2)
+    np.testing.assert_array_equal(mask, k2)
+
+
+def test_collate_pads_last_frame():
+    a = (np.ones((4, 2, 2, 1), np.float32), np.ones((4, 2, 2, 1), np.float32),
+         np.ones((4, 2, 2, 1), np.float32))
+    b0 = np.arange(2 * 2 * 2).reshape(2, 2, 2, 1).astype(np.float32)
+    b = (b0, b0, b0)
+    videos, masked, masks = collate_pad_last([a, b])
+    assert videos.shape == (2, 4, 2, 2, 1)
+    np.testing.assert_array_equal(videos[1, 2], b0[-1])
+    np.testing.assert_array_equal(videos[1, 3], b0[-1])
+
+
+def test_datamodule_zarr_train_split(tree):
+    paths, root = tree
+    cfg = {
+        "seed": 42,
+        "data": {
+            "train": {"data_root": str(root / "nimrod_train.zarr"), "w": 48,
+                      "h": 48, "sample_length": 20,
+                      "mask": {"type": "sti", "block_sizes": [8]}},
+            "test": {"data_root": str(root / "nimrod_test.zarr"), "w": 64, "h": 64,
+                     "sample_length": None},
+        },
+        "train": {"batch_size": 2, "num_workers": 2},
+    }
+    dm = P2IDataModule(cfg)
+    n_total = len(dm.train_dataset) + len(dm.valid_dataset)
+    assert len(dm.valid_dataset) == int(n_total * 0.2)
+    train_loader = dm.train_dataloader()
+    videos, masked, masks = next(iter(train_loader))
+    assert videos.shape == (2, 20, 48, 48, 1)
+    test_loader = dm.test_dataloader()
+    assert test_loader.batch_size == 1
+    tv, tm, tk = next(iter(test_loader))
+    assert tv.shape[0] == 1 and tv.shape[1] == 12  # full event length
+
+
+def test_loader_epoch_reshuffle(tree):
+    paths, root = tree
+    ds = ZarrWindowDataset({
+        "data_root": str(root / "nimrod_train.zarr"), "w": 48, "h": 48,
+        "mask": {"type": "nowcasting", "keep": 4},
+    })
+    loader = Loader(ds, batch_size=4, shuffle=True, seed=0, num_workers=2)
+    n1 = sum(v.shape[0] for v, _, _ in loader)
+    assert n1 == len(ds)
+    assert loader.epoch == 1

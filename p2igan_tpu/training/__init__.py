@@ -1,0 +1,2 @@
+from .trainer import Trainer  # noqa: F401
+from .checkpoint import save_checkpoint, load_checkpoint  # noqa: F401

@@ -1,0 +1,206 @@
+"""Jitted GAN train/eval steps with data-parallel sharding.
+
+TPU-native re-design of the reference per-batch loop
+(``scripts/train.py:228-367``): the discriminator step, generator step, and
+loss bookkeeping compile into ONE XLA program per batch shape. Batches are
+sharded over the mesh ``data`` axis, parameters are replicated, and gradient
+all-reduce emerges as XLA collectives from the sharding annotations (riding
+ICI) — no hand-written communication.
+
+Semantics preserved from the reference ordering:
+  1. preds = G(masked, masks)
+  2. D step on (stop_gradient(preds), frames), hinge/nsgan/lsgan, 0.5*(r+f)
+  3. D params updated, THEN generator adversarial logits use the updated D
+     (train.py:264-309)
+  4. G step: rec_loss + adversarial_weight * gan(D(preds), real=True)
+Each training D forward advances the spectral-norm power iteration once
+(threaded state replaces torch's in-place buffer mutation); torch's
+requires_grad freezing becomes structural — G grads are taken only w.r.t.
+generator params.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import gan_loss, reconstruction_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    gen_params: Any
+    gen_extra: Any          # e.g. batch_stats for the simple model
+    opt_g: Any
+    disc_params: Any = None
+    disc_extra: Any = None  # spectral power-iteration state / batch_stats
+    opt_d: Any = None
+
+
+def make_optimizer(opt_cfg: Dict[str, Any]) -> optax.GradientTransformation:
+    """Adam with the reference defaults (train.py:125-136): betas (0.0, 0.99)."""
+    return optax.adam(
+        learning_rate=opt_cfg.get("lr", 1e-4),
+        b1=opt_cfg.get("beta1", 0.0),
+        b2=opt_cfg.get("beta2", 0.99),
+    )
+
+
+def _gen_apply_factory(gen) -> Callable:
+    """Normalize generator apply across model families."""
+    from ..models import SimpleGenerator
+
+    if isinstance(gen, SimpleGenerator):
+        def apply_fn(params, extra, masked, masks, train):
+            variables = {"params": params, **extra}
+            if train:
+                preds, upd = gen.apply(variables, masked, masks, train=True,
+                                       mutable=["batch_stats"])
+                return preds, dict(upd)
+            return gen.apply(variables, masked, masks, train=False), extra
+    else:
+        def apply_fn(params, extra, masked, masks, train):
+            return gen.apply({"params": params, **extra}, masked, masks), extra
+    return apply_fn
+
+
+def _disc_apply_factory(disc) -> Callable:
+    from ..models import SimpleDiscriminator
+
+    if isinstance(disc, SimpleDiscriminator):
+        def apply_fn(params, extra, x, update_stats):
+            variables = {"params": params, **extra}
+            if update_stats:
+                logits, upd = disc.apply(variables, x, train=True,
+                                         mutable=["batch_stats"])
+                return logits, dict(upd)
+            return disc.apply(variables, x, train=False), extra
+    else:
+        def apply_fn(params, extra, x, update_stats):
+            variables = {"params": params, **extra}
+            if update_stats:
+                logits, upd = disc.apply(variables, x, update_stats=True,
+                                         mutable=["spectral"])
+                return logits, dict(upd)
+            return disc.apply(variables, x, update_stats=False), extra
+    return apply_fn
+
+
+def build_train_step(
+    gen,
+    disc,
+    opt_g: optax.GradientTransformation,
+    opt_d: Optional[optax.GradientTransformation],
+    *,
+    use_gan: bool,
+    gan_loss_type: str = "hinge",
+    adversarial_weight: float = 0.01,
+    k1_alpha: float = 0.0,
+    gan_real_label: float = 1.0,
+    gan_fake_label: float = 0.0,
+    donate: bool = True,
+) -> Callable[[TrainState, jax.Array, jax.Array, jax.Array],
+              Tuple[TrainState, Dict[str, jax.Array]]]:
+    gen_apply = _gen_apply_factory(gen)
+    disc_apply = _disc_apply_factory(disc) if disc is not None else None
+    _gan = functools.partial(gan_loss, loss_type=gan_loss_type,
+                             target_real_label=gan_real_label,
+                             target_fake_label=gan_fake_label)
+
+    def step(state: TrainState, frames, masked, masks):
+        metrics: Dict[str, jax.Array] = {}
+
+        # ---- forward G once for the D step ------------------------------
+        preds0, _ = gen_apply(state.gen_params, state.gen_extra, masked, masks,
+                              train=False)
+        preds0 = jax.lax.stop_gradient(preds0)
+
+        disc_params = state.disc_params
+        disc_extra = state.disc_extra
+        opt_d_state = state.opt_d
+
+        if use_gan and disc is not None:
+            def d_loss_fn(p, extra):
+                logits_fake, extra = disc_apply(p, extra, preds0, True)
+                logits_real, extra = disc_apply(p, extra, frames, True)
+                loss_d = (_gan(logits_real, True, is_disc=True)
+                          + _gan(logits_fake, False, is_disc=True)) * 0.5
+                return loss_d, extra
+
+            (loss_d, disc_extra), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(disc_params, disc_extra)
+            d_updates, opt_d_state = opt_d.update(d_grads, opt_d_state, disc_params)
+            disc_params = optax.apply_updates(disc_params, d_updates)
+            metrics["dis_loss"] = loss_d
+
+        # ---- G step (uses the UPDATED discriminator) --------------------
+        def g_loss_fn(p, g_extra, d_extra):
+            preds, g_extra = gen_apply(p, g_extra, masked, masks, train=True)
+            rec, parts = reconstruction_loss(preds, frames, k1_alpha)
+            loss = rec
+            adv = jnp.asarray(0.0, rec.dtype)
+            if use_gan and disc is not None:
+                logits, d_extra = disc_apply(jax.lax.stop_gradient(disc_params),
+                                             d_extra, preds, True)
+                adv = _gan(logits, True, is_disc=False) * adversarial_weight
+                loss = loss + adv
+            aux = {"rec_loss": rec, "adv_loss": adv, "pool": parts["pool"],
+                   "reg": parts["reg"], "g_extra": g_extra, "d_extra": d_extra}
+            return loss, aux
+
+        (loss_g, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.gen_params, state.gen_extra, disc_extra)
+        g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        metrics.update({
+            "loss": loss_g,
+            "rec_loss": aux["rec_loss"],
+            "adv_loss": aux["adv_loss"],
+            "pool": aux["pool"],
+            "reg": aux["reg"],
+        })
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params,
+            gen_extra=aux["g_extra"],
+            opt_g=opt_g_state,
+            disc_params=disc_params,
+            disc_extra=aux["d_extra"] if (use_gan and disc is not None) else disc_extra,
+            opt_d=opt_d_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def build_eval_step(gen, *, k1_alpha: float = 0.0) -> Callable:
+    """Validation reconstruction loss (reference _evaluate_rec_loss)."""
+    gen_apply = _gen_apply_factory(gen)
+
+    @jax.jit
+    def step(state: TrainState, frames, masked, masks):
+        preds, _ = gen_apply(state.gen_params, state.gen_extra, masked, masks,
+                             train=False)
+        loss, _ = reconstruction_loss(preds, frames, k1_alpha)
+        return loss
+
+    return step
+
+
+def build_predict_fn(gen) -> Callable:
+    gen_apply = _gen_apply_factory(gen)
+
+    @jax.jit
+    def predict(state: TrainState, masked, masks):
+        preds, _ = gen_apply(state.gen_params, state.gen_extra, masked, masks,
+                             train=False)
+        return preds
+
+    return predict

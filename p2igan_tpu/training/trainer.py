@@ -1,0 +1,331 @@
+"""Training orchestration (L5), the reference ``Trainer`` re-designed.
+
+Owns: data module, generator/discriminator, optax Adam optimizers,
+reconstruction loss, tracker run, checkpointing — reference
+``scripts/train.py:98-225``. Differences by design:
+
+* the per-batch python loop shrinks to one jitted ``train_step`` call; host
+  work is only batch prefetch + metric logging
+* batches are sharded over the device mesh ``data`` axis (reference is
+  single-device); the train loader drops ragged final batches so shapes stay
+  static
+* ``val_loss`` is initialized to +inf so disabling validation does not crash
+  (the reference has an unbound-variable crash path, train.py:206-215 —
+  deliberate fix, documented here)
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import flatten_dict
+from ..data.datamodule import P2IDataModule
+from ..models import build_discriminator, build_generator
+from ..parallel.mesh import batch_sharding, create_mesh, replicated_sharding
+from ..utils.tracking import get_tracker
+from .checkpoint import load_checkpoint_raw, save_checkpoint
+from .steps import TrainState, build_eval_step, build_predict_fn, build_train_step, make_optimizer
+
+
+class Trainer:
+    def __init__(self, cfg: Dict[str, Any], mesh=None):
+        self.cfg = cfg
+        self.seed = cfg.get("seed", 42)
+        self.mesh = mesh if mesh is not None else create_mesh()
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        logging.info("Mesh: %d device(s) on axes %s", n_dev, self.mesh.axis_names)
+
+        logging.info("Initializing data module...")
+        self.data_module = P2IDataModule(cfg)
+        self.train_loader = self.data_module.train_dataloader()
+        self.val_loader = self.data_module.val_dataloader()
+        self.test_loader = self.data_module.test_dataloader()
+        if self.train_loader is not None and n_dev > 1:
+            self.train_loader.drop_last = True
+        train_cfg = cfg.get("train", {})
+        self.run_validation = bool(train_cfg.get("use_validation", True))
+        self.run_test = bool(train_cfg.get("use_test", True))
+        logging.info(
+            "Data loaders ready | train=%s, val=%s, test=%s",
+            len(self.train_loader) if self.train_loader else 0,
+            len(self.val_loader) if self.val_loader else 0,
+            len(self.test_loader) if self.test_loader else 0,
+        )
+        self.train_steps_per_epoch = max(1, len(self.train_loader) if self.train_loader else 1)
+
+        logging.info("Building models...")
+        self.use_gan = bool(cfg["loss"].get("use_gan", 0))
+        self.generator = build_generator(cfg)
+        self.discriminator = build_discriminator(cfg) if self.use_gan else None
+
+        opt_cfg = cfg["train"]["optimizer"]
+        self.opt_g = make_optimizer(opt_cfg)
+        self.opt_d = make_optimizer(opt_cfg) if self.discriminator is not None else None
+
+        self.k1_alpha = cfg["loss"].get("k1_weight", 0.0)
+        self.gan_loss_type = cfg["loss"].get("gan_loss", "hinge")
+
+        self.save_dir = Path(cfg.get("save_dir", "weights"))
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+
+        self.log_every = int(train_cfg.get("log_step", 100))
+        self.global_step = 0
+        self.max_steps = train_cfg.get("iterations")
+        self.max_epochs = train_cfg.get("max_epochs")
+        if self.max_epochs is None:
+            loader_len = self.train_steps_per_epoch
+            if self.max_steps:
+                self.max_epochs = -(-int(self.max_steps) // loader_len)
+            else:
+                self.max_epochs = train_cfg.get("niter", 1)
+        if self.max_steps is None:
+            self.max_steps = self.max_epochs * self.train_steps_per_epoch
+
+        self.best_val = float("inf")
+        self.state = self._init_state()
+        self.train_step = build_train_step(
+            self.generator, self.discriminator, self.opt_g, self.opt_d,
+            use_gan=self.use_gan, gan_loss_type=self.gan_loss_type,
+            adversarial_weight=cfg["loss"].get("adversarial_weight", 0.01),
+            k1_alpha=self.k1_alpha,
+            gan_real_label=cfg["loss"].get("target_real_label", 1.0),
+            gan_fake_label=cfg["loss"].get("target_fake_label", 0.0),
+        )
+        self.eval_step = build_eval_step(self.generator, k1_alpha=self.k1_alpha)
+        self.predict_fn = build_predict_fn(self.generator)
+        self.tracker = get_tracker()
+        viz_cfg = cfg.get("viz", {})
+        self.viz_scale = str(viz_cfg.get("scale", "gt_pred")).lower()
+        self.viz_vmin = viz_cfg.get("vmin")
+        self.viz_vmax = viz_cfg.get("vmax")
+
+    # ------------------------------------------------------------------
+    def _example_batch(self):
+        data_cfg = self.cfg["data"]["train"]
+        t = data_cfg.get("sample_length", 16) or 16
+        h, w = data_cfg["h"], data_cfg["w"]
+        c = self.cfg.get("model", {}).get("in_channels", 1)
+        b = max(1, self.cfg["train"].get("batch_size", 1))
+        shape = (b, t, h, w, c)
+        zeros = jnp.zeros(shape, jnp.float32)
+        mask = jnp.zeros(shape, jnp.float32).at[:, :, ::4, ::4, :].set(1.0)
+        return zeros, mask
+
+    def _init_state(self) -> TrainState:
+        masked, masks = self._example_batch()
+        key = jax.random.key(self.seed)
+        gen_vars = dict(self.generator.init(key, masked, masks))
+        gen_params = gen_vars.pop("params")
+        gen_extra = gen_vars
+        opt_g_state = self.opt_g.init(gen_params)
+
+        disc_params = disc_extra = opt_d_state = None
+        if self.discriminator is not None:
+            disc_vars = dict(self.discriminator.init(jax.random.key(self.seed + 1), masked))
+            disc_params = disc_vars.pop("params")
+            disc_extra = disc_vars
+            opt_d_state = self.opt_d.init(disc_params)
+
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_params, gen_extra=gen_extra, opt_g=opt_g_state,
+            disc_params=disc_params, disc_extra=disc_extra, opt_d=opt_d_state,
+        )
+        # replicate across the mesh
+        repl = replicated_sharding(self.mesh)
+        return jax.device_put(state, repl)
+
+    def _put_batch(self, batch):
+        frames, masked, masks = batch
+        sh = batch_sharding(self.mesh)
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        if frames.shape[0] % n_dev != 0:
+            sh = replicated_sharding(self.mesh)
+        return tuple(jax.device_put(jnp.asarray(x), sh) for x in (frames, masked, masks))
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        experiment_name = self.cfg.get("experiment_name")
+        if experiment_name:
+            self.tracker.set_experiment(experiment_name)
+        with self.tracker.start_run(run_name=self.cfg.get("run_name")):
+            self.tracker.log_params(flatten_dict(self.cfg))
+            val_loss = float("inf")
+            for epoch in range(1, self.max_epochs + 1):
+                logging.info("Epoch %d/%d starting...", epoch, self.max_epochs)
+                train_loss = self._train_one_epoch(epoch)
+                self.tracker.log_metric("train/loss", train_loss, step=self.global_step)
+                logging.info("Epoch %d completed | train_loss=%.4f | global_step=%d",
+                             epoch, train_loss, self.global_step)
+                self._log_examples(self.train_loader, prefix="train", epoch=epoch,
+                                   max_batches=1)
+
+                if self.run_validation and self.val_loader is not None:
+                    logging.info("Running validation...")
+                    val_loss = self._evaluate_rec_loss(self.val_loader)
+                    self.tracker.log_metric("val/loss", val_loss, step=self.global_step)
+                    logging.info("Validation done | val_loss=%.4f", val_loss)
+
+                latest = self.save_dir / "latest.ckpt"
+                self._save(latest, epoch)
+                self.tracker.log_artifact(str(latest))
+                if val_loss < self.best_val:
+                    self.best_val = val_loss
+                    best = self.save_dir / "best.ckpt"
+                    self._save(best, epoch)
+                    self.tracker.log_artifact(str(best))
+                    logging.info("New best model saved at %s (val_loss=%.4f)",
+                                 best, self.best_val)
+                self._log_examples(self.val_loader, prefix="val", epoch=epoch)
+
+                if self.global_step >= self.max_steps:
+                    logging.info("Reached max steps (%d). Stopping.", self.max_steps)
+                    break
+
+    def _train_one_epoch(self, epoch: int) -> float:
+        running = {"loss": 0.0, "rec": 0.0, "adv": 0.0, "dis": 0.0}
+        steps = 0
+        progress_interval = max(1, self.train_steps_per_epoch // 20)
+        t0 = time.time()
+        for batch in self.train_loader:
+            frames, masked, masks = self._put_batch(batch)
+            self.state, metrics = self.train_step(self.state, frames, masked, masks)
+            steps += 1
+            self.global_step += 1
+
+            if steps == 1:
+                logging.info("Batch shapes | frames=%s", tuple(frames.shape))
+            if steps % progress_interval == 0 or steps == self.train_steps_per_epoch:
+                pct = steps / self.train_steps_per_epoch
+                bar_len = 20
+                filled = int(bar_len * pct)
+                bar = "|" * filled + "." * (bar_len - filled)
+                logging.info("Epoch %d/%d |%s| %.1f%% (step %d/%d)", epoch,
+                             self.max_epochs, bar, pct * 100, steps,
+                             self.train_steps_per_epoch)
+            if self.global_step % self.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                self.tracker.log_metric("train/step_loss", m["loss"], step=self.global_step)
+                for key in ("rec_loss", "adv_loss", "dis_loss", "pool", "reg"):
+                    if key in m:
+                        self.tracker.log_metric(f"train/{key}", m[key], step=self.global_step)
+                sps = steps / max(time.time() - t0, 1e-6)
+                self.tracker.log_metric("train/steps_per_sec", sps, step=self.global_step)
+                logging.info("Epoch %d | step %d/%d | loss=%.4f | %.2f steps/s",
+                             epoch, self.global_step, self.max_steps, m["loss"], sps)
+
+            m = metrics
+            running["loss"] += float(m["loss"])
+            running["rec"] += float(m["rec_loss"])
+            running["adv"] += float(m.get("adv_loss", 0.0))
+            running["dis"] += float(m.get("dis_loss", 0.0))
+            if self.global_step >= self.max_steps:
+                break
+
+        denom = max(1, steps)
+        self.last_rec_loss = running["rec"] / denom
+        self.last_adv_loss = running["adv"] / denom
+        self.last_dis_loss = running["dis"] / denom
+        return running["loss"] / denom
+
+    def _evaluate_rec_loss(self, loader) -> float:
+        if loader is None:
+            return 0.0
+        total, batches = 0.0, 0
+        for batch in loader:
+            frames, masked, masks = self._put_batch(batch)
+            total += float(self.eval_step(self.state, frames, masked, masks))
+            batches += 1
+        return total / max(1, batches)
+
+    # ------------------------------------------------------------------
+    def _log_examples(self, loader, prefix: str, epoch: int, max_batches: int = 5,
+                      samples_per_batch: int = 1) -> None:
+        """Colorized GT|pred grids with stat annotations (train.py:384-466)."""
+        if loader is None:
+            return
+        save_dir = self.save_dir / "artifacts"
+        save_dir.mkdir(parents=True, exist_ok=True)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.cm as cm
+        from PIL import Image, ImageDraw
+
+        del cm
+        cmap = matplotlib.colormaps["viridis"]
+        for b_idx, batch in zip(range(max_batches), loader):
+            frames, masked, masks = self._put_batch(batch)
+            preds = np.asarray(self.predict_fn(self.state, masked, masks))
+            frames = np.asarray(frames)
+            for idx in range(min(samples_per_batch, frames.shape[0])):
+                gt = frames[idx, ..., 0]          # (T, H, W)
+                pd = np.clip(preds[idx, ..., 0], 0, 1)
+                stats = (gt.min(), gt.mean(), gt.max(), pd.min(), pd.mean(), pd.max())
+                if self.viz_scale == "fixed" and self.viz_vmin is not None:
+                    vmin, vmax = float(self.viz_vmin), float(self.viz_vmax)
+                elif self.viz_scale == "gt":
+                    vmin, vmax = gt.min(), gt.max()
+                else:
+                    vmin = min(gt.min(), pd.min())
+                    vmax = max(gt.max(), pd.max())
+                norm = lambda x: (x - vmin) / (vmax - vmin + 1e-6)  # noqa: E731
+                rows = []
+                for seq in (gt, pd):
+                    colored = [cmap(norm(fr))[..., :3] for fr in seq]
+                    rows.append(np.concatenate(colored, axis=1))
+                img = (np.concatenate(rows, axis=0) * 255).astype(np.uint8)
+                out_path = save_dir / f"{prefix}_epoch{epoch}_batch{b_idx}_ex{idx}.png"
+                pil = Image.fromarray(img)
+                draw = ImageDraw.Draw(pil)
+                draw.text((5, 5),
+                          f"GT min/mean/max: {stats[0]:.3f}/{stats[1]:.3f}/{stats[2]:.3f} | "
+                          f"Pred min/mean/max: {stats[3]:.3f}/{stats[4]:.3f}/{stats[5]:.3f} | "
+                          "cmap=viridis", fill=(255, 255, 255))
+                pil.save(out_path)
+                self.tracker.log_artifact(str(out_path))
+
+    # ------------------------------------------------------------------
+    def _save(self, path: Path, epoch: int) -> None:
+        state = jax.device_get(self.state)
+        payload = {
+            "epoch": epoch,
+            "global_step": self.global_step,
+            "generator": {"params": state.gen_params, "extra": state.gen_extra},
+            "optimizer_g": state.opt_g,
+        }
+        if state.disc_params is not None:
+            payload["discriminator"] = {"params": state.disc_params,
+                                        "extra": state.disc_extra}
+            payload["optimizer_d"] = state.opt_d
+        save_checkpoint(path, payload)
+
+    def load(self, path: str | Path) -> None:
+        """Resume training state (params + optimizer + counters)."""
+        raw = load_checkpoint_raw(path)
+        state = jax.device_get(self.state)
+        import flax.serialization as ser
+
+        def restore(template, data):
+            return ser.from_state_dict(template, data)
+
+        gen = raw["generator"]
+        new = state.replace(
+            gen_params=restore(state.gen_params, gen["params"]),
+            gen_extra=restore(state.gen_extra, gen["extra"]),
+            opt_g=restore(state.opt_g, raw["optimizer_g"]),
+        )
+        if state.disc_params is not None and "discriminator" in raw:
+            new = new.replace(
+                disc_params=restore(state.disc_params, raw["discriminator"]["params"]),
+                disc_extra=restore(state.disc_extra, raw["discriminator"]["extra"]),
+                opt_d=restore(state.opt_d, raw["optimizer_d"]),
+            )
+        self.global_step = int(raw.get("global_step", 0))
+        self.state = jax.device_put(new, replicated_sharding(self.mesh))

@@ -1,0 +1,80 @@
+import json
+
+import numpy as np
+import pytest
+
+from p2igan_tpu.data import fake
+from p2igan_tpu.training.trainer import Trainer
+
+
+def _cfg(root, model="simple", use_gan=0, base=8, t=4, hw=32):
+    return {
+        "seed": 7,
+        "save_dir": str(root / "weights"),
+        "experiment_name": "test-exp",
+        "run_name": "test-run",
+        "model": {"name": model, "in_channels": 1, "out_channels": 1,
+                  "base_channels": base},
+        "data": {
+            "train": {"data_root": str(root / "train.zarr"), "w": hw, "h": hw,
+                      "sample_length": t,
+                      "mask": {"type": "sti", "block_sizes": [8]}},
+        },
+        "loss": {"adversarial_weight": 0.01, "k1_weight": 0.05, "temp_weight": 0,
+                 "gan_loss": "hinge", "use_gan": use_gan},
+        "train": {"optimizer": {"type": "Adam", "beta1": 0.0, "beta2": 0.99,
+                                "lr": 1e-4},
+                  "batch_size": 2, "num_workers": 2, "log_step": 2,
+                  "iterations": 3, "use_validation": True, "use_test": False},
+    }
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traindata")
+    fake.write_train_zarr(root / "train.zarr", n_events=2, T=8, H=32, W=32,
+                          window=4, stride=2, seed=0)
+    return root
+
+
+def test_simple_training_runs(data_root, monkeypatch):
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    cfg = _cfg(data_root, model="simple", use_gan=0)
+    tr = Trainer(cfg)
+    tr.train()
+    assert tr.global_step >= 3
+    assert (data_root / "weights" / "latest.ckpt").exists()
+    assert (data_root / "weights" / "best.ckpt").exists()
+
+
+def test_simple_gan_training_and_resume(data_root, monkeypatch):
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    cfg = _cfg(data_root, model="simple", use_gan=1)
+    cfg["save_dir"] = str(data_root / "weights_gan")
+    cfg["train"]["iterations"] = 2
+    tr = Trainer(cfg)
+    tr.train()
+    p0 = np.asarray(
+        next(iter(tr.state.gen_params.values()))["kernel"]
+        if "kernel" in next(iter(tr.state.gen_params.values()))
+        else tr.state.gen_params["enc0"]["kernel"])
+
+    # resume restores step counter and params
+    tr2 = Trainer(cfg)
+    tr2.load(str(data_root / "weights_gan" / "latest.ckpt"))
+    assert tr2.global_step == tr.global_step
+    p1 = np.asarray(tr2.state.gen_params["enc0"]["kernel"])
+    np.testing.assert_array_equal(np.asarray(tr.state.gen_params["enc0"]["kernel"]), p1)
+
+
+def test_p2igan_gan_step(data_root, monkeypatch):
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    cfg = _cfg(data_root, model="p2igan", use_gan=1, base=16, t=4, hw=32)
+    cfg["save_dir"] = str(data_root / "weights_p2i")
+    cfg["train"]["iterations"] = 1
+    tr = Trainer(cfg)
+    tr.train()
+    assert tr.global_step == 1
+    # spectral state advanced during training
+    u = np.asarray(tr.state.disc_extra["spectral"]["d2d_0"]["u"])
+    assert np.isfinite(u).all()

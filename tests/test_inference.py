@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+
+from p2igan_tpu.data import fake, zarrlite
+from p2igan_tpu.inference.driver import SlidingWindowReconstructor, run_inference
+from p2igan_tpu.models import SimpleGenerator
+import jax
+
+
+@pytest.fixture(scope="module")
+def gen_and_vars():
+    gen = SimpleGenerator(base_channels=4)
+    masked = np.zeros((1, 4, 16, 16, 1), np.float32)
+    vars_ = gen.init(jax.random.key(0), masked, masked)
+    return gen, vars_
+
+
+def _naive_reconstruct(gen, vars_, masked, masks, stride, overlap, scale):
+    """Python replica of the reference window loop (infer.py:217-245)."""
+    T, H, W, C = masked.shape
+    step = max(1, stride - overlap)
+    accum = np.zeros((T, H, W, C), np.float32)
+    weight = np.zeros((T, 1, 1, 1), np.float32)
+    for start in range(0, T, step):
+        end = start + stride
+        if end > T:
+            pad_len = end - T
+            wm = np.concatenate([masked[start:], np.repeat(masked[-1:], pad_len, 0)], 0)
+            wk = np.concatenate([masks[start:], np.repeat(masks[-1:], pad_len, 0)], 0)
+            valid = T - start
+        else:
+            wm, wk = masked[start:end], masks[start:end]
+            valid = stride
+        preds = np.asarray(gen.apply(vars_, wm[None], wk[None]))[0]
+        for i in range(valid):
+            accum[start + i] += preds[i]
+            weight[start + i] += 1.0
+    comp = accum / np.maximum(weight, 1e-5)
+    return np.clip(comp * scale, 0.0, None)
+
+
+@pytest.mark.parametrize("T", [11, 16, 23])
+def test_batched_windows_match_naive_loop(rng, gen_and_vars, T):
+    gen, vars_ = gen_and_vars
+    stride, overlap, scale = 8, 4, 255.0
+    masked = rng.random((T, 16, 16, 1)).astype(np.float32)
+    masks = (rng.random((T, 16, 16, 1)) < 0.3).astype(np.float32)
+    ref = _naive_reconstruct(gen, vars_, masked, masks, stride, overlap, scale)
+    recon = SlidingWindowReconstructor(gen, vars_, stride=stride, overlap=overlap,
+                                       window_batch=2, output_scale=scale,
+                                       t_bucket=8)
+    out = recon(masked, masks)
+    np.testing.assert_allclose(ref, out, atol=2e-3, rtol=1e-4)
+
+
+def test_run_inference_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    fake.write_h5_events(tmp_path / "events", n_events=2, T=10, H=32, W=32)
+    mask_file = fake.write_gauge_mask(tmp_path / "mask.txt", H=32, W=32, n_gauges=20)
+
+    cfg = {
+        "seed": 1,
+        "save_dir": str(tmp_path / "weights"),
+        "model": {"name": "simple", "in_channels": 1, "base_channels": 4},
+        "data": {
+            "train": {"data_root": str(tmp_path / "events"), "w": 32, "h": 32,
+                      "sample_length": 4,
+                      "mask": {"type": "stis", "file": str(mask_file)}},
+            "test": {"data_root": str(tmp_path / "events"), "w": 32, "h": 32,
+                     "sample_length": None},
+        },
+        "loss": {"use_gan": 0, "k1_weight": 0.0},
+        "train": {"optimizer": {"lr": 1e-4}, "batch_size": 1, "num_workers": 1,
+                  "iterations": 1, "log_step": 1, "use_validation": False},
+    }
+    # train one step to produce latest.ckpt
+    from p2igan_tpu.training.trainer import Trainer
+
+    tr = Trainer(cfg)
+    tr.train()
+
+    out = run_inference(cfg, stride=4, overlap=2, passes=2, overwrite=True)
+    g = zarrlite.open(out, mode="r")
+    assert g.attrs["model_name"] == "simple"
+    assert g.attrs["passes"] == 2
+    keys = g.array_keys()
+    assert keys == ["event_01", "event_02"]
+    ev = g["event_01"][:]
+    assert ev.shape == (10, 32, 32, 1)
+    assert ev.min() >= 0.0
+    assert np.isfinite(ev).all()

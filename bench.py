@@ -1,0 +1,80 @@
+"""Benchmark: 128x128x16 event reconstructions/sec/chip (sliding-window infer).
+
+Runs the flagship P2IGenerator over gauge-masked fake events with the
+reference inference protocol (stride 16, overlap 12, overlap averaging,
+x255 + clip) and reports throughput. Prints ONE JSON line.
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is the
+ratio to BASELINE.json's ``published`` value when present, else null.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.inference.driver import SlidingWindowReconstructor
+    from p2igan_tpu.models import P2IGenerator
+
+    EVENT_T = 64          # frames per event (16 windows at step 4)
+    N_EVENTS = 8
+    H = W = 128
+    T = 16
+
+    gen = P2IGenerator(H=H, W=W, length=T, base_channels=64,
+                       idw_max_points=1280, idw_chunk=16384)
+    rng = np.random.default_rng(0)
+    init_masked = jnp.zeros((4, T, H, W, 1), jnp.float32)
+    mask_flat = np.zeros((H * W,), np.float32)
+    mask_flat[rng.choice(H * W, 79, replace=False)] = 1.0
+    gauge = np.broadcast_to(mask_flat.reshape(1, 1, H, W, 1), (4, T, H, W, 1)).copy()
+    variables = gen.init(jax.random.key(0), init_masked, jnp.asarray(gauge))
+
+    recon = SlidingWindowReconstructor(gen, variables, stride=16, overlap=12,
+                                       window_batch=4, output_scale=255.0,
+                                       t_bucket=EVENT_T)
+
+    event_mask = np.broadcast_to(mask_flat.reshape(1, H, W, 1),
+                                 (EVENT_T, H, W, 1)).astype(np.float32).copy()
+    events = [
+        (rng.random((EVENT_T, H, W, 1)).astype(np.float32) * event_mask, event_mask)
+        for _ in range(N_EVENTS)
+    ]
+
+    # warmup / compile
+    out = recon(events[0][0], events[0][1])
+    assert np.isfinite(out).all()
+
+    t0 = time.time()
+    for masked, mask in events:
+        out = recon(masked, mask)
+    jax.block_until_ready(out)
+    elapsed = time.time() - t0
+    rate = N_EVENTS / elapsed
+
+    vs = None
+    baseline_file = Path(__file__).parent / "BASELINE.json"
+    if baseline_file.exists():
+        published = json.loads(baseline_file.read_text()).get("published", {})
+        ref = published.get("event_reconstructions_per_sec")
+        if ref:
+            vs = rate / float(ref)
+
+    print(json.dumps({
+        "metric": "128x128x16 event reconstructions/sec/chip (sliding-window infer, 64-frame events)",
+        "value": round(rate, 4),
+        "unit": "events/sec",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

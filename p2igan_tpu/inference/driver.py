@@ -120,13 +120,14 @@ class SlidingWindowReconstructor:
         return out[:T]
 
 
-def variables_from_checkpoint(path: str | Path) -> Dict[str, Any]:
+def variables_from_checkpoint(path: str | Path,
+                              model_name: str = "p2igan") -> Dict[str, Any]:
     """Load generator variables from a native .ckpt or a torch .pt file."""
     path = Path(path)
     if path.suffix == ".pt":
         from ..models.torch_import import load_torch_checkpoint
 
-        return load_torch_checkpoint(path)
+        return load_torch_checkpoint(path, model_name=model_name)
     raw = load_checkpoint_raw(path)
     gen = raw.get("generator", raw)
     if "params" in gen:
@@ -184,7 +185,7 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
         group.attrs["files"] = [str(p) for p in dataset.video_files]
 
     generator = build_generator_for_inference(cfg)
-    variables = variables_from_checkpoint(checkpoint_path)
+    variables = variables_from_checkpoint(checkpoint_path, model_name=model_name)
     recon = SlidingWindowReconstructor(
         generator, variables, stride=stride, overlap=overlap,
         window_batch=window_batch, output_scale=output_scale)

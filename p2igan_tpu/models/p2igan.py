@@ -61,6 +61,7 @@ class P2IGenerator(nn.Module):
     inference: bool = False  # eval variant = folded DO-convs
     idw_max_points: int = 2048
     idw_chunk: int = 16384
+    idw_factored: bool = False  # exact fast path for frame-constant masks
     compute_dtype: Any = jnp.float32
 
     @classmethod
@@ -81,9 +82,13 @@ class P2IGenerator(nn.Module):
         else:
             n_pts = length * H * W // 8
         max_points = kw.pop("idw_max_points", -(-n_pts // 128) * 128)
+        # sti/stis masks share one spatial pattern across frames -> the
+        # factorized exact k-NN applies (stin/fi/nowcasting do not qualify)
+        factored = kw.pop("idw_factored", mask_type in ("sti", "stis"))
         return cls(H=H, W=W, length=length,
                    base_channels=model_cfg.get("base_channels", 64),
-                   inference=inference, idw_max_points=max_points, **kw)
+                   inference=inference, idw_max_points=max_points,
+                   idw_factored=factored, **kw)
 
     @nn.compact
     def __call__(self, masked_frames: jax.Array, masks: jax.Array) -> jax.Array:
@@ -96,7 +101,8 @@ class P2IGenerator(nn.Module):
         m_in = jnp.transpose(masks, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
 
         x = InputBlock(depth=2, k=4, rho=2.0, tau=0.05, chunk=self.idw_chunk,
-                       max_points=self.idw_max_points, name="input")(x_in, m_in)
+                       max_points=self.idw_max_points,
+                       factored=self.idw_factored, name="input")(x_in, m_in)
         x = x.astype(self.compute_dtype)
 
         x_ = BasicConvDO(t * c, base, 3, relu=False, groups=4, factored=factored,

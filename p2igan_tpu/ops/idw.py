@@ -64,26 +64,135 @@ def idw_3d_knn(
 
     pts = points_xyz.astype(jnp.float32)
     vals = values.astype(jnp.float32)
-    p2 = jnp.sum(pts * pts, axis=-1)  # (P,)
     inf = jnp.asarray(np.float32(np.inf))
 
     def one_chunk(g: jax.Array) -> jax.Array:  # g: (chunk, 3)
-        g2 = jnp.sum(g * g, axis=-1, keepdims=True)  # (chunk, 1)
-        d2 = g2 + p2[None, :] - 2.0 * (g @ pts.T)    # (chunk, P)
-        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        # Exact difference formulation: the |g|^2+|p|^2-2g.p matmul expansion
+        # catastrophically cancels for near neighbours (and the TPU MXU's
+        # bf16 passes make it worse), flipping k-NN selection.
+        diff = g[:, None, :] - pts[None, :, :]       # (chunk, P, 3)
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d = jnp.sqrt(d2)
         d = jnp.where(valid[None, :], d, inf)
-        neg_top, idx = jax.lax.top_k(-d, k)           # nearest k
-        d_k = -neg_top
-        if abs(rho - 2.0) < 1e-6:
-            invd = 1.0 / (d_k + tau)
-            w = invd * invd
-        else:
-            w = 1.0 / jnp.power(d_k + tau, rho)
-        w = w / (jnp.sum(w, axis=1, keepdims=True) + 1e-12)
-        v_k = vals[idx]                               # (chunk, k)
-        return jnp.sum(v_k * w, axis=1)
+        # k-round iterative min extraction: k is tiny (4) so k argmin+select
+        # passes over (chunk, P) beat a full top-k sort on the VPU.
+        w_sum = jnp.zeros((g.shape[0],), jnp.float32)
+        wv_sum = jnp.zeros((g.shape[0],), jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        for _ in range(k):
+            idx = jnp.argmin(d, axis=1)               # lowest index on ties
+            hit = col == idx[:, None]
+            d_min = jnp.min(d, axis=1)
+            v_min = jnp.sum(jnp.where(hit, vals[None, :], 0.0), axis=1)
+            if abs(rho - 2.0) < 1e-6:
+                invd = 1.0 / (d_min + tau)
+                w = invd * invd
+            else:
+                w = 1.0 / jnp.power(d_min + tau, rho)
+            w_sum = w_sum + w
+            wv_sum = wv_sum + w * v_min
+            d = jnp.where(hit, inf, d)
+        return wv_sum / (w_sum + 1e-12)
 
     out = jax.lax.map(one_chunk, gp).reshape(-1)[:Q]
+    return out.reshape(D, H, W)
+
+
+def idw_3d_factored(
+    mask_xy: jax.Array,     # (H, W) spatial observation pattern (>0 = observed)
+    values_dhw: jax.Array,  # (D, H, W) values at observed locations
+    max_gauges: int,
+    k: int = 4,
+    rho: float = 2.0,
+    tau: float = 0.05,
+) -> jax.Array:
+    """Exact IDW k-NN for masks constant across frames (sti / stis types).
+
+    The observation set factorizes as {G gauge pixels} x {D frames}, so any
+    point in the global top-k must pair a top-k spatial gauge (per pixel)
+    with a top-k frame (per z): a (g, f) pair beaten by >= k same-g pairs at
+    nearer frames, or >= k same-f pairs at nearer gauges, cannot be a global
+    top-k member. Work drops from Q x (G*D) distances to Q x k^2 candidates.
+    Ties break by flat (t-major) point index, matching the reference's
+    nonzero ordering (layer.py:329-344).
+    """
+    D, H, W = values_dhw.shape
+    HW = H * W
+    big = jnp.float32(1e30)
+
+    flat = mask_xy.reshape(-1) > 0
+    (gidx,) = jnp.nonzero(flat, size=max_gauges, fill_value=HW)
+    safe = jnp.minimum(gidx, HW - 1)
+    gvalid = gidx < HW
+    gy = (safe // W).astype(jnp.float32) / max(H - 1, 1)
+    gx = (safe % W).astype(jnp.float32) / max(W - 1, 1)
+
+    # grid coords must match grid_points()' linspace bit-for-bit (the point
+    # coords use idx/(N-1) like the reference's normalization — mixed, as in
+    # layer.py:246-256 vs :334-341)
+    qy = jnp.repeat(jnp.asarray(np.linspace(0, 1, H, dtype=np.float32)), W)
+    qx = jnp.tile(jnp.asarray(np.linspace(0, 1, W, dtype=np.float32)), H)
+
+    dxy2 = (qx[:, None] - gx[None, :]) ** 2 + (qy[:, None] - gy[None, :]) ** 2
+    dxy2 = jnp.where(gvalid[None, :], dxy2, big)  # (HW, G)
+
+    # top-k gauges per pixel (iterative argmin, lowest index on ties)
+    colg = jax.lax.broadcasted_iota(jnp.int32, dxy2.shape, 1)
+    gd2_list, gsel_list = [], []
+    dwork = dxy2
+    for _ in range(k):
+        idx = jnp.argmin(dwork, axis=1)
+        gd2_list.append(jnp.min(dwork, axis=1))
+        gsel_list.append(idx)
+        dwork = jnp.where(colg == idx[:, None], big, dwork)
+    gd2 = jnp.stack(gd2_list, axis=1)    # (HW, k)
+    gsel = jnp.stack(gsel_list, axis=1)  # (HW, k) indices into gauge slots
+
+    # all frames stay candidates (a frame pre-cut can drop one member of a
+    # ULP-level symmetric +-z tie whose flat-order resolution needs it); only
+    # the spatial gauge cut prunes — any global top-k pair's gauge must be in
+    # its pixel's top-k gauges (same-frame domination argument)
+    zq = jnp.asarray(np.linspace(0, 1, D, dtype=np.float32))   # grid z
+    zp = jnp.arange(D, dtype=jnp.float32) / max(D - 1, 1)      # point z
+    dz2 = (zq[:, None] - zp[None, :]) ** 2  # (D query z, D frames)
+
+    gpix = safe[gsel]                                  # (HW, k)
+    # reorder each pixel's selected gauges by ascending pixel index (top-k
+    # ranks them by distance; flat-order tie-breaking needs pixel order)
+    order = jnp.argsort(gpix, axis=1)
+    gpix = jnp.take_along_axis(gpix, order, axis=1)
+    gd2 = jnp.take_along_axis(gd2, order, axis=1)
+    vals2d = values_dhw.reshape(D, HW)
+    # FRAME-MAJOR candidate layout (HW, D, k): candidate index = f*k + slot is
+    # lexicographic in (frame, pixel) because gauge slots ascend in pixel
+    # order — so argmin's lowest-index tie-break IS the reference's flat
+    # (t-major) nonzero order; no explicit tie handling needed.
+    cvals = jnp.transpose(vals2d[:, gpix], (1, 0, 2)).reshape(HW, D * k)
+    bigd = jnp.sqrt(big)
+
+    def one_z(fd2_row: jax.Array) -> jax.Array:  # (D frames,)
+        cd = jnp.sqrt(gd2[:, None, :] + fd2_row[None, :, None])  # (HW, D, k)
+        cd = jnp.where(cd < bigd, cd, bigd).reshape(HW, D * k)
+        col = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 1)
+        w_sum = jnp.zeros((HW,), jnp.float32)
+        wv_sum = jnp.zeros((HW,), jnp.float32)
+        for _ in range(k):
+            d_min = jnp.min(cd, axis=-1)
+            idx = jnp.argmin(cd, axis=-1)
+            hit = col == idx[:, None]
+            v = jnp.sum(jnp.where(hit, cvals, 0.0), axis=-1)
+            if abs(rho - 2.0) < 1e-6:
+                invd = 1.0 / (d_min + tau)
+                w = invd * invd
+            else:
+                w = 1.0 / jnp.power(d_min + tau, rho)
+            w = jnp.where(d_min < bigd, w, 0.0)
+            w_sum = w_sum + w
+            wv_sum = wv_sum + w * v
+            cd = jnp.where(hit, bigd, cd)
+        return wv_sum / (w_sum + 1e-12)
+
+    out = jax.lax.map(one_z, dz2)  # (D, HW)
     return out.reshape(D, H, W)
 
 

@@ -211,10 +211,12 @@ class InputBlock(nn.Module):
     tau: float = 0.05
     chunk: int = 16384
     max_points: int = 2048
+    use_pallas: Optional[bool] = None  # None = auto (TPU backend)
+    factored: bool = False  # exact fast path for frame-constant masks (sti/stis)
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
-        from .idw import extract_points, idw_3d_knn
+        from .idw import extract_points, idw_3d_factored, idw_3d_knn
 
         B, H, W, D = x.shape
         h = x.reshape(B * H * W, 1, D)
@@ -226,8 +228,29 @@ class InputBlock(nn.Module):
         vals_dhw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
         mask_dhw = jnp.transpose(mask, (0, 3, 1, 2))
 
+        if self.factored:
+            # mask is constant across frames: use the factorized exact k-NN
+            max_gauges = -(-self.max_points // max(D, 1) // 128) * 128
+            max_gauges = max(max_gauges, 128)
+
+            def one(m, v):
+                return idw_3d_factored(m[0], v, max_gauges, k=self.k,
+                                       rho=self.rho, tau=self.tau)
+
+            out = jax.vmap(one)(mask_dhw, vals_dhw)
+            return jnp.transpose(out, (0, 2, 3, 1))
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+
         def one(m, v):
             pts, vals, valid = extract_points(m, v, self.max_points)
+            if use_pallas:
+                from .pallas.idw_kernel import idw_3d_knn_pallas
+
+                return idw_3d_knn_pallas(pts, vals, valid, (D, H, W),
+                                         self.k, self.rho, self.tau)
             return idw_3d_knn(pts, vals, valid, (D, H, W), k=self.k,
                               rho=self.rho, tau=self.tau, chunk=self.chunk)
 

@@ -1,0 +1,141 @@
+"""Pallas TPU kernel for IDW k-NN densification — the hottest irregular op.
+
+The reference's ``idw_3d_knn`` (reference ``modules/layer.py:259-293``) is a
+chunked cdist -> topk -> weighted gather. The XLA fallback in ``ops/idw.py``
+materializes the (chunk, P) distance matrix in HBM between ops; this kernel
+keeps the whole tile resident in VMEM: squared distances are computed by VPU
+broadcasting (the 3-wide matmul would waste the 128-wide MXU contraction),
+the k=4 nearest neighbours are extracted by iterative argmin rounds in
+registers, and only the (Q_BLK,) result is written back — HBM traffic drops
+from ~10 passes over the distance matrix to just grid + points + output.
+
+Gradients: the kernel is wrapped in ``jax.custom_vjp``; the backward pass
+re-derives the VJP from the mathematically identical pure-JAX implementation
+(values-gradient = normalized IDW weights scattered to the selected points).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..idw import grid_points, idw_3d_knn
+
+
+def _idw_kernel(gp_ref, pts_ref, vals_ref, penalty_ref, out_ref, *,
+                k: int, rho: float, tau: float):
+    """One grid block. gp_ref: (3, Q_BLK); pts/vals/penalty: (3, P)/(1, P)."""
+    P = pts_ref.shape[1]
+    qblk = gp_ref.shape[1]
+
+    gx = gp_ref[0, :].reshape(qblk, 1)
+    gy = gp_ref[1, :].reshape(qblk, 1)
+    gz = gp_ref[2, :].reshape(qblk, 1)
+    px = pts_ref[0, :].reshape(1, P)
+    py = pts_ref[1, :].reshape(1, P)
+    pz = pts_ref[2, :].reshape(1, P)
+
+    dx = gx - px
+    dy = gy - py
+    dz = gz - pz
+    # select on squared distance (monotonic); sqrt only the k winners
+    d2 = dx * dx + dy * dy + dz * dz + penalty_ref[0, :].reshape(1, P)
+
+    vals = vals_ref[0, :].reshape(1, P)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qblk, P), 1)
+    inf = jnp.float32(np.inf)
+
+    w_sum = jnp.zeros((qblk, 1), jnp.float32)
+    wv_sum = jnp.zeros((qblk, 1), jnp.float32)
+    for _ in range(k):
+        d2_min = jnp.min(d2, axis=1, keepdims=True)
+        idx = jnp.argmin(d2, axis=1).reshape(qblk, 1)
+        hit = col == idx
+        v_min = jnp.sum(jnp.where(hit, vals, 0.0), axis=1, keepdims=True)
+        d_min = jnp.sqrt(d2_min)
+        if abs(rho - 2.0) < 1e-6:
+            invd = 1.0 / (d_min + tau)
+            w = invd * invd
+        else:
+            w = 1.0 / jnp.power(d_min + tau, rho)
+        w_sum = w_sum + w
+        wv_sum = wv_sum + w * v_min
+        d2 = jnp.where(hit, inf, d2)
+
+    out_ref[0, :] = (wv_sum / (w_sum + 1e-12)).reshape(qblk)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def idw_3d_knn_pallas(points_xyz: jax.Array, values: jax.Array, valid: jax.Array,
+                      out_shape: Tuple[int, int, int], k: int = 4,
+                      rho: float = 2.0, tau: float = 0.05,
+                      q_block: int = 512) -> jax.Array:
+    """Drop-in for ``ops.idw.idw_3d_knn`` running as a fused Pallas kernel."""
+    return _idw_forward(points_xyz, values, valid, out_shape, k, rho, tau, q_block)
+
+
+def _idw_forward(points_xyz, values, valid, out_shape, k, rho, tau, q_block):
+    D, H, W = out_shape
+    gp = np.ascontiguousarray(grid_points(D, H, W).T)  # (3, Q)
+    Q = gp.shape[1]
+    Qp = _round_up(Q, q_block)
+    if Qp != Q:
+        gp = np.pad(gp, ((0, 0), (0, Qp - Q)))
+    P = points_xyz.shape[0]
+    Pp = _round_up(max(P, 128), 128)
+
+    pts = jnp.transpose(points_xyz.astype(jnp.float32))  # (3, P)
+    vals = values.astype(jnp.float32).reshape(1, P)
+    penalty = jnp.where(valid, 0.0, np.float32(1e30)).reshape(1, P)
+    if Pp != P:
+        pts = jnp.pad(pts, ((0, 0), (0, Pp - P)))
+        vals = jnp.pad(vals, ((0, 0), (0, Pp - P)))
+        penalty = jnp.pad(penalty, ((0, 0), (0, Pp - P)),
+                          constant_values=np.float32(1e30))
+
+    out = pl.pallas_call(
+        functools.partial(_idw_kernel, k=k, rho=rho, tau=tau),
+        grid=(Qp // q_block,),
+        in_specs=[
+            pl.BlockSpec((3, q_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Pp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Qp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=Qp * Pp * (9 + 6 * k), bytes_accessed=4 * (3 * Qp + 5 * Pp + Qp),
+            transcendentals=Qp * Pp,
+        ),
+    )(jnp.asarray(gp), pts, vals, penalty)
+    return out[0, :Q].reshape(D, H, W)
+
+
+def _idw_fwd(points_xyz, values, valid, out_shape, k, rho, tau, q_block):
+    out = _idw_forward(points_xyz, values, valid, out_shape, k, rho, tau, q_block)
+    return out, (points_xyz, values, valid)
+
+
+def _idw_bwd(out_shape, k, rho, tau, q_block, residuals, g):
+    points_xyz, values, valid = residuals
+    # VJP via the mathematically identical XLA implementation
+    _, vjp = jax.vjp(
+        lambda p, v: idw_3d_knn(p, v, valid, out_shape, k=k, rho=rho, tau=tau),
+        points_xyz, values)
+    dp, dv = vjp(g)
+    return dp, dv, None
+
+
+idw_3d_knn_pallas.defvjp(_idw_fwd, _idw_bwd)

@@ -1,0 +1,82 @@
+"""Factorized IDW (frame-constant masks) vs the generic k-NN implementation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from p2igan_tpu.ops import idw as IDW
+
+
+def _generic(mask_xy, values, k=4, tau=0.05):
+    """Deterministic numpy reference on the expanded point set: stable argsort
+    (flat t-major tie-break), float32 distances computed as (dx2+dy2)+dz2.
+
+    Note: the jitted XLA generic path can flip ULP-level systematic z-ties
+    (XLA fusion rounds the distance sum differently than eager), so the
+    spec-true numpy ordering is the comparison target here.
+    """
+    D, H, W = values.shape
+    mask_dhw = np.broadcast_to(mask_xy[None], (D, H, W)).astype(np.float32)
+    pts_j, vals_j, valid_j = IDW.extract_points(jnp.asarray(mask_dhw),
+                                                jnp.asarray(values), D * H * W // 2)
+    pts = np.asarray(pts_j)
+    vals = np.asarray(vals_j)
+    valid = np.asarray(valid_j)
+    gp = IDW.grid_points(D, H, W)
+    diff = (gp[:, None, :] - pts[None, :, :]).astype(np.float32)
+    sq = diff * diff
+    d = np.sqrt((sq[..., 0] + sq[..., 1]) + sq[..., 2], dtype=np.float32)
+    d[:, ~valid] = np.inf
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    d_k = np.take_along_axis(d, idx, axis=1)
+    w = (1.0 / (d_k + tau) ** 2).astype(np.float32)
+    w = w / (w.sum(1, keepdims=True) + 1e-12)
+    w[~np.isfinite(d_k)] = 0.0
+    out = (np.nan_to_num(vals[idx]) * w).sum(1)
+    return out.reshape(D, H, W)
+
+
+@pytest.mark.parametrize("n_gauges", [1, 7, 33])
+def test_factored_matches_generic(rng, n_gauges):
+    D, H, W = 5, 12, 12
+    mask_xy = np.zeros((H * W,), np.float32)
+    mask_xy[rng.choice(H * W, n_gauges, replace=False)] = 1.0
+    mask_xy = mask_xy.reshape(H, W)
+    values = rng.normal(size=(D, H, W)).astype(np.float32)
+    ref = _generic(mask_xy, values)
+    out = np.asarray(IDW.idw_3d_factored(jnp.asarray(mask_xy), jnp.asarray(values),
+                                         max_gauges=64))
+    np.testing.assert_allclose(ref, out, atol=1e-4, rtol=1e-4)
+
+
+def test_factored_exact_tie_at_gauge(rng):
+    """Grid point exactly on a gauge: systematic +-z distance ties must break
+    identically (lower frame index first, matching flat nonzero order)."""
+    D, H, W = 6, 8, 8
+    mask_xy = np.zeros((H, W), np.float32)
+    mask_xy[3, 4] = 1.0
+    mask_xy[1, 2] = 1.0
+    values = rng.normal(size=(D, H, W)).astype(np.float32)
+    ref = _generic(mask_xy, values)
+    out = np.asarray(IDW.idw_3d_factored(jnp.asarray(mask_xy), jnp.asarray(values),
+                                         max_gauges=128))
+    np.testing.assert_allclose(ref, out, atol=1e-4, rtol=1e-4)
+
+
+def test_factored_empty_mask(rng):
+    D, H, W = 3, 8, 8
+    out = np.asarray(IDW.idw_3d_factored(jnp.zeros((H, W)),
+                                         jnp.asarray(rng.normal(size=(D, H, W))
+                                                     .astype(np.float32)),
+                                         max_gauges=128))
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_factored_single_frame():
+    D, H, W = 1, 6, 6
+    mask_xy = np.zeros((H, W), np.float32)
+    mask_xy[2, 2] = 1.0
+    values = np.full((D, H, W), 3.0, np.float32)
+    out = np.asarray(IDW.idw_3d_factored(jnp.asarray(mask_xy), jnp.asarray(values),
+                                         max_gauges=128))
+    np.testing.assert_allclose(out, 3.0, atol=1e-5)

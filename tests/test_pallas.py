@@ -1,0 +1,66 @@
+"""Pallas kernels vs their XLA references (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from p2igan_tpu.ops import idw as IDW
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    """CPU CI: run Pallas kernels through the interpreter."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_idw_pallas_matches_xla(rng):
+    from p2igan_tpu.ops.pallas.idw_kernel import idw_3d_knn_pallas
+
+    D, H, W = 2, 16, 16
+    P = 40
+    pts = rng.random((P, 3)).astype(np.float32)
+    vals = rng.normal(size=(P,)).astype(np.float32)
+    valid = np.arange(P) < 33
+    ref = IDW.idw_3d_knn(jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(valid),
+                         (D, H, W), k=4, chunk=128)
+    out = idw_3d_knn_pallas(jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(valid),
+                            (D, H, W), 4, 2.0, 0.05, 128)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4)
+
+
+def test_idw_pallas_gradient(rng):
+    from p2igan_tpu.ops.pallas.idw_kernel import idw_3d_knn_pallas
+
+    D, H, W = 2, 8, 8
+    P = 16
+    pts = jnp.asarray(rng.random((P, 3)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(P,)).astype(np.float32))
+    valid = jnp.asarray(np.arange(P) < 12)
+
+    def loss_pallas(v):
+        return jnp.sum(idw_3d_knn_pallas(pts, v, valid, (D, H, W), 4, 2.0, 0.05, 128) ** 2)
+
+    def loss_xla(v):
+        return jnp.sum(IDW.idw_3d_knn(pts, v, valid, (D, H, W), k=4, chunk=64) ** 2)
+
+    g_pallas = jax.grad(loss_pallas)(vals)
+    g_xla = jax.grad(loss_xla)(vals)
+    np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_pallas),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_decode_normalize_mask(rng):
+    from p2igan_tpu.ops.pallas.decode_mask import decode_normalize_mask
+
+    u8 = rng.integers(0, 256, size=(2, 4, 16, 128), dtype=np.uint8)
+    mask = (rng.random((2, 4, 16, 128)) < 0.3).astype(np.float32)
+    video, masked = decode_normalize_mask(jnp.asarray(u8), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(video), u8.astype(np.float32) / 255.0,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(masked),
+                               (u8.astype(np.float32) / 255.0) * mask, atol=1e-7)

@@ -105,6 +105,8 @@ def idw_3d_factored(
     k: int = 4,
     rho: float = 2.0,
     tau: float = 0.05,
+    use_pallas: bool | None = None,  # None = auto: the fused Mosaic kernel on
+    # TPU (it also compiles far faster there than the XLA scan formulation)
 ) -> jax.Array:
     """Exact IDW k-NN for masks constant across frames (sti / stis types).
 
@@ -168,7 +170,27 @@ def idw_3d_factored(
     # order — so argmin's lowest-index tie-break IS the reference's flat
     # (t-major) nonzero order; no explicit tie handling needed.
     cvals = jnp.transpose(vals2d[:, gpix], (1, 0, 2)).reshape(HW, D * k)
-    bigd = jnp.sqrt(big)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas.idw_factored_kernel import combine_with_vjp
+
+        out = combine_with_vjp(jnp.transpose(gd2), jnp.transpose(cvals), dz2,
+                               k, D, rho, tau)
+        return out.reshape(D, H, W)
+
+    return _factored_combine_xla(gd2, cvals, dz2, k, rho, tau).reshape(D, H, W)
+
+
+def _factored_combine_xla(gd2: jax.Array,    # (HW, k)
+                          cvals: jax.Array,  # (HW, D*k)
+                          dz2: jax.Array,    # (D, D)
+                          k: int, rho: float, tau: float) -> jax.Array:
+    """XLA candidate-combine (also the VJP reference for the Pallas kernel)."""
+    HW = gd2.shape[0]
+    D = dz2.shape[0]
+    bigd = jnp.sqrt(jnp.float32(1e30))
 
     def one_z(fd2_row: jax.Array) -> jax.Array:  # (D frames,)
         cd = jnp.sqrt(gd2[:, None, :] + fd2_row[None, :, None])  # (HW, D, k)
@@ -192,8 +214,7 @@ def idw_3d_factored(
             cd = jnp.where(hit, bigd, cd)
         return wv_sum / (w_sum + 1e-12)
 
-    out = jax.lax.map(one_z, dz2)  # (D, HW)
-    return out.reshape(D, H, W)
+    return jax.lax.map(one_z, dz2)  # (D, HW)
 
 
 def extract_points(

@@ -1,0 +1,124 @@
+"""Pallas kernel for the factorized IDW candidate-combine stage.
+
+The XLA version of ``ops.idw.idw_3d_factored``'s combine loop makes ~20
+HBM passes over the (HW, D*k) candidate tensors (each reduction breaks
+fusion). This kernel reads each tile once — gauge distances (k, HW_BLK),
+candidate values (D*k, HW_BLK) and the tiny frame-distance table — builds
+the (D*k, HW_BLK) candidate matrix in VMEM and runs all k extraction rounds
+in registers, writing only the (1, HW_BLK) result row.
+
+Candidate order is frame-major (f*k + slot, slots in ascending pixel order),
+so argmin's lowest-index tie-break reproduces the reference's flat nonzero
+order exactly, as in the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIGD = np.float32(1e15)  # sqrt(1e30) sentinel for invalid candidates
+
+
+def _combine_kernel(gd2_ref, cvals_ref, fd2_ref, out_ref, *, k: int, D: int,
+                    rho: float, tau: float):
+    """gd2: (k, B); cvals: (D*k, B); fd2: (D, D); out: (D, B).
+
+    One program handles every query-z row for its pixel block, so the gauge
+    distances and candidate values are loaded into VMEM once and reused D
+    times.
+    """
+    B = gd2_ref.shape[1]
+    gd2 = gd2_ref[...]                       # (k, B)
+    gd2_tiled = jnp.concatenate([gd2] * D, axis=0)  # (D*k, B) frame-major
+    cvals = cvals_ref[...]                   # (D*k, B)
+    row = jax.lax.broadcasted_iota(jnp.int32, (D * k, B), 0)
+
+    fd2 = fd2_ref[...]                       # (D, D*k) loaded once
+
+    for z in range(D):
+        fz = fd2[z].reshape(D * k, 1)        # fd2 per candidate row
+        cd = jnp.sqrt(gd2_tiled + fz)
+        cd = jnp.where(cd < BIGD, cd, BIGD)
+        w_sum = jnp.zeros((B,), jnp.float32)
+        wv_sum = jnp.zeros((B,), jnp.float32)
+        for _ in range(k):
+            d_min = jnp.min(cd, axis=0)
+            idx = jnp.argmin(cd, axis=0)     # lowest index on ties
+            hit = row == idx[None, :]
+            v = jnp.sum(jnp.where(hit, cvals, 0.0), axis=0)
+            if abs(rho - 2.0) < 1e-6:
+                invd = 1.0 / (d_min + tau)
+                w = invd * invd
+            else:
+                w = 1.0 / jnp.power(d_min + tau, rho)
+            w = jnp.where(d_min < BIGD, w, 0.0)
+            w_sum = w_sum + w
+            wv_sum = wv_sum + w * v
+            cd = jnp.where(hit, BIGD, cd)
+        out_ref[z, :] = wv_sum / (w_sum + 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "D", "rho", "tau", "hw_block"))
+def factored_combine_pallas(gd2_t: jax.Array,    # (k, HW) gauge dists^2
+                            cvals_t: jax.Array,  # (D*k, HW) candidate values
+                            dz2: jax.Array,      # (D, D) frame dists^2
+                            k: int, D: int, rho: float = 2.0, tau: float = 0.05,
+                            hw_block: int = 512) -> jax.Array:
+    HW = gd2_t.shape[1]
+    HWp = -(-HW // hw_block) * hw_block
+    if HWp != HW:
+        gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
+        cvals_t = jnp.pad(cvals_t, ((0, 0), (0, HWp - HW)))
+    # frame distance per frame-major candidate row: (D query z, D*k)
+    dz2 = jnp.repeat(dz2, k, axis=1)
+
+    out = pl.pallas_call(
+        functools.partial(_combine_kernel, k=k, D=D, rho=rho, tau=tau),
+        grid=(HWp // hw_block,),
+        in_specs=[
+            pl.BlockSpec((k, hw_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D * k, hw_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D * k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((D, hw_block), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, HWp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=D * HWp * D * k * 8, bytes_accessed=4 * HWp * (k + D * k + D),
+            transcendentals=D * HWp * k,
+        ),
+    )(gd2_t, cvals_t, dz2)
+    return out[:, :HW]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def combine_with_vjp(gd2_t, cvals_t, dz2, k, D, rho, tau):
+    """Pallas forward; backward re-derived from the identical XLA combine."""
+    return factored_combine_pallas(gd2_t, cvals_t, dz2, k=k, D=D, rho=rho, tau=tau)
+
+
+def _fwd(gd2_t, cvals_t, dz2, k, D, rho, tau):
+    out = factored_combine_pallas(gd2_t, cvals_t, dz2, k=k, D=D, rho=rho, tau=tau)
+    return out, (gd2_t, cvals_t, dz2)
+
+
+def _bwd(k, D, rho, tau, residuals, g):
+    from ..idw import _factored_combine_xla
+
+    gd2_t, cvals_t, dz2 = residuals
+    _, vjp = jax.vjp(
+        lambda a, b, c: _factored_combine_xla(
+            jnp.transpose(a), jnp.transpose(b), c, k, rho, tau),
+        gd2_t, cvals_t, dz2)
+    return vjp(g)
+
+
+combine_with_vjp.defvjp(_fwd, _bwd)

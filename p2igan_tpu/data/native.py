@@ -1,0 +1,112 @@
+"""ctypes binding for the native host-IO core (``native/p2io.cpp``).
+
+Builds ``libp2io.so`` on demand with the system toolchain (no pybind
+dependency) and exposes the parallel chunked-window reader the training
+data path uses. Falls back gracefully (``get_lib() is None``) when no
+compiler is available — zarrlite's pure-Python path handles everything.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+_LOCK = threading.Lock()
+
+CODEC_IDS = {None: 0, "raw": 0, "zlib": 1, "gzip": 1, "zstd": 2, "blosc": 3}
+
+_SRC = Path(__file__).resolve().parents[2] / "native" / "p2io.cpp"
+_OUT = Path(__file__).resolve().parent / "_native_libp2io.so"
+
+
+def build(force: bool = False) -> Optional[Path]:
+    """Compile libp2io.so next to this module; returns the path or None."""
+    if _OUT.exists() and not force:
+        return _OUT
+    if not _SRC.exists():
+        return None
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-std=c++17",
+        str(_SRC), "-o", str(_OUT),
+        "-l:libzstd.so.1", "-l:libblosc.so.1", "-lz",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _OUT
+    except Exception as e:  # noqa: BLE001
+        logging.debug("native p2io build failed: %s", e)
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        path = build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError as e:  # pragma: no cover
+            logging.debug("native p2io load failed: %s", e)
+            return None
+        lib.p2io_read_window_u8.restype = ctypes.c_int
+        lib.p2io_read_window_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.p2io_zstd_compress.restype = ctypes.c_int64
+        lib.p2io_zstd_compress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def read_window_u8(
+    chunk_paths: Sequence[Tuple[Tuple[int, int, int], Optional[Path]]],
+    chunk_shape: Tuple[int, int, int],
+    origin: Tuple[int, int, int],
+    window: Tuple[int, int, int],
+    codec: Optional[str],
+) -> Optional[np.ndarray]:
+    """Parallel chunked uint8 window read; None when the native lib is absent.
+
+    chunk_paths: [((it, iy, ix), path-or-None), ...] for overlapping chunks.
+    """
+    lib = get_lib()
+    if lib is None or codec not in CODEC_IDS:
+        return None
+    n = len(chunk_paths)
+    path_arr = (ctypes.c_char_p * n)(
+        *[str(p).encode() if p is not None else b"" for _, p in chunk_paths])
+    idx = np.ascontiguousarray(
+        np.array([ci for ci, _ in chunk_paths], np.int32).reshape(-1))
+    out = np.empty(window, np.uint8)
+    rc = lib.p2io_read_window_u8(
+        path_arr, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        *[int(v) for v in chunk_shape],
+        *[int(v) for v in origin],
+        *[int(v) for v in window],
+        CODEC_IDS[codec],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        return None
+    return out

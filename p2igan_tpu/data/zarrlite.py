@@ -263,12 +263,37 @@ class Array:
 
     def __getitem__(self, key: Any) -> np.ndarray:
         starts, stops, out_shape, keep = _normalize_key(key, self.shape)
+        native = self._read_native(starts, stops)
+        if native is not None:
+            return native.reshape(out_shape)
         out = np.empty([stop - start for start, stop in zip(starts, stops)], dtype=self.dtype)
         for cidx in _chunks_overlapping(starts, stops, self.chunks):
             chunk = self._read_chunk(cidx)
             src_sel, dst_sel = _chunk_selections(cidx, self.chunks, starts, stops, self.shape)
             out[dst_sel] = chunk[src_sel]
         return out.reshape(out_shape)
+
+    def _read_native(self, starts, stops) -> Optional[np.ndarray]:
+        """Parallel C++ window read for chunked uint8 3D arrays (the training
+        hot path); None -> fall back to the Python chunk loop."""
+        if self.dtype != np.uint8 or self.ndim != 3 or self.fill_value != 0:
+            return None
+        comp_id = None if self.compressor is None else self.compressor.get("id")
+        from . import native as _native
+
+        if comp_id not in _native.CODEC_IDS:
+            return None
+        window = tuple(b - a for a, b in zip(starts, stops))
+        if any(w <= 0 for w in window):
+            return None
+        chunk_list = []
+        for cidx in _chunks_overlapping(starts, stops, self.chunks):
+            p = self._chunk_path(cidx)
+            chunk_list.append((cidx, p if p.exists() else None))
+        if not chunk_list:
+            return np.zeros(window, np.uint8)
+        return _native.read_window_u8(chunk_list, self.chunks, starts, window,
+                                      comp_id)
 
     # -- write -------------------------------------------------------------
     def __setitem__(self, key: Any, value: Any) -> None:

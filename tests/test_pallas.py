@@ -54,6 +54,29 @@ def test_idw_pallas_gradient(rng):
                                atol=1e-3, rtol=1e-3)
 
 
+def test_factored_combine_pallas_matches_xla(rng):
+    from p2igan_tpu.ops import idw as IDW
+
+    D, H, W = 4, 16, 16
+    mask_xy = np.zeros((H * W,), np.float32)
+    mask_xy[rng.choice(H * W, 9, replace=False)] = 1.0
+    mask_xy = jnp.asarray(mask_xy.reshape(H, W))
+    values = jnp.asarray(rng.normal(size=(D, H, W)).astype(np.float32))
+    ref = IDW.idw_3d_factored(mask_xy, values, 128, use_pallas=False)
+    out = IDW.idw_3d_factored(mask_xy, values, 128, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4,
+                               rtol=1e-4)
+
+    # gradient path (custom VJP via the XLA combine)
+    def loss(v, pallas):
+        return jnp.sum(IDW.idw_3d_factored(mask_xy, v, 128, use_pallas=pallas) ** 2)
+
+    g_ref = jax.grad(lambda v: loss(v, False))(values)
+    g_out = jax.grad(lambda v: loss(v, True))(values)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_out), atol=1e-3,
+                               rtol=1e-3)
+
+
 def test_decode_normalize_mask(rng):
     from p2igan_tpu.ops.pallas.decode_mask import decode_normalize_mask
 

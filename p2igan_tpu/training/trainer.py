@@ -105,6 +105,13 @@ class Trainer:
         self.viz_scale = str(viz_cfg.get("scale", "gt_pred")).lower()
         self.viz_vmin = viz_cfg.get("vmin")
         self.viz_vmax = viz_cfg.get("vmax")
+        # profiling: capture a jax.profiler trace for a step range
+        # (the TPU answer to the reference's CUDA memory logging,
+        # train.py:176-183)
+        self.profile_dir = train_cfg.get("profile_dir")
+        self.profile_start = int(train_cfg.get("profile_start_step", 2))
+        self.profile_steps = int(train_cfg.get("profile_steps", 3))
+        self._profiling = False
 
     # ------------------------------------------------------------------
     def _example_batch(self):
@@ -195,10 +202,20 @@ class Trainer:
         progress_interval = max(1, self.train_steps_per_epoch // 20)
         t0 = time.time()
         for batch in self.train_loader:
+            if self.profile_dir and not self._profiling \
+                    and self.global_step == self.profile_start:
+                jax.profiler.start_trace(str(self.profile_dir))
+                self._profiling = True
             frames, masked, masks = self._put_batch(batch)
             self.state, metrics = self.train_step(self.state, frames, masked, masks)
             steps += 1
             self.global_step += 1
+            if self._profiling and \
+                    self.global_step >= self.profile_start + self.profile_steps:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                self._profiling = False
+                logging.info("Profiler trace written to %s", self.profile_dir)
 
             if steps == 1:
                 logging.info("Batch shapes | frames=%s", tuple(frames.shape))

@@ -1,0 +1,106 @@
+"""Multi-device paths on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from p2igan_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                      pad_to_multiple, replicated_sharding)
+
+
+def test_mesh_covers_devices():
+    mesh = create_mesh()
+    assert int(np.prod(mesh.devices.shape)) == len(jax.devices())
+    assert mesh.axis_names == ("data",)
+
+
+def test_pad_to_multiple():
+    x = np.arange(10, dtype=np.float32).reshape(5, 2)
+    padded, n = pad_to_multiple(x, 4)
+    assert padded.shape == (8, 2) and n == 5
+    np.testing.assert_array_equal(padded[5:], np.broadcast_to(x[-1], (3, 2)))
+
+
+def test_sharded_train_step_matches_single_device(rng):
+    """Data-parallel GAN step over 8 devices == single-device step."""
+    from p2igan_tpu.models import P2IDiscriminator, P2IGenerator
+    from p2igan_tpu.training.steps import TrainState, build_train_step, make_optimizer
+
+    t, hw = 4, 16
+    gen = P2IGenerator(H=hw, W=hw, length=t, num_res=1, base_channels=16,
+                       idw_max_points=128, idw_chunk=256)
+    disc = P2IDiscriminator(in_channels=t)
+    b = 8
+    frames = jnp.asarray(rng.random((b, t, hw, hw, 1)).astype(np.float32))
+    masks = jnp.asarray((rng.random((b, t, hw, hw, 1)) < 0.2).astype(np.float32))
+    masked = frames * masks
+
+    gen_vars = dict(gen.init(jax.random.key(0), masked, masks))
+    disc_vars = dict(disc.init(jax.random.key(1), frames))
+    opt_g, opt_d = make_optimizer({"lr": 1e-3}), make_optimizer({"lr": 1e-3})
+    gp, dp = gen_vars.pop("params"), disc_vars.pop("params")
+
+    def fresh_state():
+        return TrainState(step=jnp.zeros((), jnp.int32), gen_params=gp,
+                          gen_extra=gen_vars, opt_g=opt_g.init(gp),
+                          disc_params=dp, disc_extra=disc_vars,
+                          opt_d=opt_d.init(dp))
+
+    step = build_train_step(gen, disc, opt_g, opt_d, use_gan=True,
+                            k1_alpha=0.05, donate=False)
+
+    # single device
+    s1, m1 = step(fresh_state(), frames, masked, masks)
+
+    # 8-device data parallel
+    mesh = create_mesh()
+    repl = replicated_sharding(mesh)
+    sh = batch_sharding(mesh)
+    state = jax.device_put(fresh_state(), repl)
+    fr, mk, ms = (jax.device_put(x, sh) for x in (frames, masked, masks))
+    s8, m8 = step(state, fr, mk, ms)
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
+    assert abs(float(m1["dis_loss"]) - float(m8["dis_loss"])) < 1e-4
+    leaf1 = jax.tree_util.tree_leaves(s1.gen_params)[0]
+    leaf8 = jax.tree_util.tree_leaves(s8.gen_params)[0]
+    np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf8), atol=1e-5)
+
+
+def test_metric_state_psum_reduction(rng):
+    """Sharded metric accumulators reduce with psum to the global counts
+    (activating the reference's dormant dist_reduce_fx semantics)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from p2igan_tpu.metrics import metric as M
+
+    mesh = create_mesh()
+    n_dev = len(jax.devices())
+    preds = rng.random((n_dev, 2, 16, 16)).astype(np.float32)
+    target = rng.random((n_dev, 2, 16, 16)).astype(np.float32)
+    thresholds = (0.5, 2.0)
+
+    def local_update(p, t):
+        st = M.categorical_metrics_init(len(thresholds))
+        st = M.categorical_metrics_update(st, p[0], t[0], thresholds)
+        return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "data"), st)
+
+    f = shard_map(local_update, mesh=mesh, in_specs=(P("data"), P("data")),
+                  out_specs=P())
+    reduced = f(jnp.asarray(preds), jnp.asarray(target))
+
+    st_all = M.categorical_metrics_init(len(thresholds))
+    for i in range(n_dev):
+        st_all = M.categorical_metrics_update(st_all, jnp.asarray(preds[i]),
+                                              jnp.asarray(target[i]), thresholds)
+    for k in st_all:
+        np.testing.assert_allclose(np.asarray(st_all[k]), np.asarray(reduced[k]),
+                                   rtol=1e-6)
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(4)

@@ -123,8 +123,9 @@ def make_fake_benchmark_tree(root: str | Path, H: int = 128, W: int = 128,
                                        H=H, W=W, seed=seed),
         "test_zarr": write_test_zarr(root / "nimrod_test.zarr", n_events=2,
                                      T=T, H=H, W=W, seed=seed + 1),
+        # window length matches the shipped configs' sample_length
         "train_zarr": write_train_zarr(root / "nimrod_train.zarr", seed=seed + 2,
-                                       H=H, W=W),
+                                       H=H, W=W, window=T),
         "gauge_mask": write_gauge_mask(root / "masks" / "gauge_mask_128_train.txt",
                                        H=H, W=W, seed=seed + 3),
         "gauge_mask_test": write_gauge_mask(root / "masks" / "gauge_mask_128_test.txt",

@@ -39,7 +39,7 @@ def main() -> None:
     variables = gen.init(jax.random.key(0), init_masked, jnp.asarray(gauge))
 
     recon = SlidingWindowReconstructor(gen, variables, stride=16, overlap=12,
-                                       window_batch=4, output_scale=255.0,
+                                       window_batch=8, output_scale=255.0,
                                        t_bucket=EVENT_T)
 
     # events synthesized on device: the benchmark measures reconstruction

@@ -238,6 +238,48 @@ def fss_compute(state: Dict[str, jax.Array], thresholds: Tuple[float, ...],
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Loss-averaging metrics (reference losses.py:256-310 torchmetrics wrappers:
+# WeightedL1Metric / K1LossMetric / ShockDifferenceMetric) as accumulators
+# ---------------------------------------------------------------------------
+
+
+def loss_metric_init() -> Dict[str, jax.Array]:
+    z = jnp.zeros((), jnp.float32)
+    return {"loss_sum": z, "n_obs": z}
+
+
+def loss_metric_update(state: Dict[str, jax.Array],
+                       loss: jax.Array) -> Dict[str, jax.Array]:
+    return {"loss_sum": state["loss_sum"] + loss, "n_obs": state["n_obs"] + 1.0}
+
+
+def loss_metric_compute(state: Dict[str, jax.Array]) -> float:
+    return float(state["loss_sum"] / jnp.maximum(state["n_obs"], 1.0))
+
+
+def weighted_l1_metric_update(state, preds, target):
+    from ..losses import weighted_l1_distance
+
+    return loss_metric_update(state, weighted_l1_distance(preds, target))
+
+
+def k1_loss_metric_update(state, preds, target, temp_alpha: float = 1.0,
+                          k1_alpha: float = 0.0):
+    from ..losses import k1_loss
+
+    return loss_metric_update(state, k1_loss(preds, target, temp_alpha, k1_alpha))
+
+
+def shock_difference_metric_update(state, preds, target, beta: float = 0.02,
+                                   border_ignore: int = 2, pool: int = 1):
+    from ..losses import shock_map_loss
+
+    return loss_metric_update(
+        state, shock_map_loss(preds, target, beta=beta,
+                              border_ignore=border_ignore, pool=pool).mean())
+
+
 @dataclass
 class MetricConfig:
     thresholds: Sequence[float] = (0.5, 2.0, 4.0, 8.0)

@@ -72,6 +72,24 @@ def _kaiming_uniform_a5(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
+class SimAM(nn.Module):
+    """Parameter-free SimAM attention (reference deconv_pytorch.py:211-223):
+    sigmoid energy weighting from per-channel spatial variance. x: (B,H,W,C)
+    (used on DO-Conv kernels when ``simam=True``)."""
+
+    e_lambda: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h, w = x.shape[1], x.shape[2]
+        n = h * w - 1
+        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+        sq = (x - mu) ** 2
+        y = sq / (4 * (jnp.sum(sq, axis=(1, 2), keepdims=True) / n
+                       + self.e_lambda)) + 0.5
+        return x * jax.nn.sigmoid(y)
+
+
 class DOConv2d(nn.Module):
     """DO-Conv layer. x: (B, H, W, Cin) -> (B, H', W', Cout).
 

@@ -60,6 +60,49 @@ class Conv2dTorch(nn.Module):
                       bias=None if bias is None else bias.astype(x.dtype))
 
 
+class BasicConv(nn.Module):
+    """Plain conv -> (norm) -> (relu) with optional transpose
+    (reference BasicConv, layer.py:43-65). Channel-last; BatchNorm carries a
+    ``batch_stats`` collection when ``norm=True``."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    use_bias: bool = False
+    norm: bool = False
+    relu: bool = True
+    transpose: bool = False
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        use_bias = self.use_bias and not self.norm
+        k = self.kernel_size
+        if self.transpose:
+            from .convs import conv_transpose2d
+
+            pad = k // 2 - 1
+            kernel = self.param("kernel", kaiming_normal_fan_in,
+                                (k, k, self.out_channels, self.in_channels))
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.out_channels,)) if use_bias else None
+            x = conv_transpose2d(x, kernel.astype(x.dtype), stride=self.stride,
+                                 padding=pad,
+                                 bias=None if bias is None else bias.astype(x.dtype))
+        else:
+            x = Conv2dTorch(self.in_channels, self.out_channels, k,
+                            stride=self.stride, padding=k // 2,
+                            groups=self.groups, use_bias=use_bias,
+                            name="conv")(x)
+        if self.norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="bn")(x)
+        if self.relu:
+            x = jax.nn.relu(x)
+        return x
+
+
 class BasicConvDO(nn.Module):
     """DO-Conv -> (optional ReLU). Reference BasicConv_do (layer.py:68-94).
 

@@ -255,11 +255,26 @@ class Trainer:
     def _evaluate_rec_loss(self, loader) -> float:
         if loader is None:
             return 0.0
+        # The reference instantiates RainfallMetricSuites but never updates
+        # them (train.py:168-170, dead code); here `train.eval_metrics: true`
+        # activates on-device metric accumulation during validation.
+        use_metrics = bool(self.cfg.get("train", {}).get("eval_metrics", False))
+        suite = None
+        if use_metrics:
+            from ..metrics import MetricConfig, RainfallMetricSuite
+
+            suite = RainfallMetricSuite(MetricConfig())
         total, batches = 0.0, 0
         for batch in loader:
             frames, masked, masks = self._put_batch(batch)
             total += float(self.eval_step(self.state, frames, masked, masks))
+            if suite is not None:
+                preds = self.predict_fn(self.state, masked, masks)
+                suite.update(preds, frames)
             batches += 1
+        if suite is not None:
+            for key, value in suite.compute().items():
+                self.tracker.log_metric(f"val/{key}", value, step=self.global_step)
         return total / max(1, batches)
 
     # ------------------------------------------------------------------

@@ -54,7 +54,7 @@ def test_zarr_window_dataset(tree):
     })
     assert len(ds) > 0
     video, masked, mask = ds.__getitem__(0, rng=np.random.default_rng(0))
-    assert video.shape == (20, 48, 48, 1)
+    assert video.shape == (12, 48, 48, 1)
     np.testing.assert_allclose(masked, video * mask)
     # determinism given the same rng seed
     v2, m2, k2 = ds.__getitem__(0, rng=np.random.default_rng(0))
@@ -79,7 +79,7 @@ def test_datamodule_zarr_train_split(tree):
         "seed": 42,
         "data": {
             "train": {"data_root": str(root / "nimrod_train.zarr"), "w": 48,
-                      "h": 48, "sample_length": 20,
+                      "h": 48, "sample_length": 12,
                       "mask": {"type": "sti", "block_sizes": [8]}},
             "test": {"data_root": str(root / "nimrod_test.zarr"), "w": 64, "h": 64,
                      "sample_length": None},
@@ -91,7 +91,7 @@ def test_datamodule_zarr_train_split(tree):
     assert len(dm.valid_dataset) == int(n_total * 0.2)
     train_loader = dm.train_dataloader()
     videos, masked, masks = next(iter(train_loader))
-    assert videos.shape == (2, 20, 48, 48, 1)
+    assert videos.shape == (2, 12, 48, 48, 1)
     test_loader = dm.test_dataloader()
     assert test_loader.batch_size == 1
     tv, tm, tk = next(iter(test_loader))

@@ -103,6 +103,62 @@ class SlidingWindowReconstructor:
 
         return reconstruct
 
+    def _build_sharded(self, T: int, mesh) -> Callable:
+        """Window-parallel reconstruction: an event's windows sharded over the
+        mesh ``data`` axis (this workload's analogue of context parallelism,
+        replacing the reference's sequential window loop). All windows run in
+        one vmapped generator call; the overlap scatter-average's cross-device
+        reduction is inserted by GSPMD from the sharding annotations.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stride, step = self.stride, self.step
+        n_dev = int(np.prod(mesh.devices.shape))
+        starts = np.arange(0, T, step, dtype=np.int32)
+        n_win = len(starts)
+        n_pad = _round_up(n_win, n_dev)
+        starts_p = np.concatenate([starts, np.full(n_pad - n_win, T, np.int32)])
+        win_idx = np.minimum(starts_p[:, None] + np.arange(stride)[None, :], T - 1)
+        tgt = starts_p[:, None] + np.arange(stride)[None, :]
+        tgt = np.where((tgt < T) & (starts_p[:, None] < T), tgt, T).astype(np.int32)
+        variables = self.variables
+        gen = self.generator
+        scale = self.output_scale
+        shard = NamedSharding(mesh, P("data"))
+
+        @jax.jit
+        def reconstruct(masked: jax.Array, masks: jax.Array) -> jax.Array:
+            H, W, C = masked.shape[1:]
+            wm = jax.lax.with_sharding_constraint(masked[jnp.asarray(win_idx)], shard)
+            wk = jax.lax.with_sharding_constraint(masks[jnp.asarray(win_idx)], shard)
+            preds = gen.apply(variables, wm, wk).astype(jnp.float32)
+            flat_seg = jnp.asarray(tgt).reshape(-1)
+            accum = jnp.zeros((T + 1, H, W, C), jnp.float32)
+            accum = accum.at[flat_seg].add(preds.reshape(-1, H, W, C))
+            count = jnp.zeros((T + 1,), jnp.float32).at[flat_seg].add(
+                jnp.where(flat_seg < T, 1.0, 0.0))
+            comp = accum[:T] / jnp.maximum(count[:T, None, None, None], 1e-5)
+            return jnp.clip(comp * scale, 0.0, None)
+
+        return reconstruct
+
+    def sharded(self, masked: np.ndarray, masks: np.ndarray, mesh) -> np.ndarray:
+        """Window-parallel event reconstruction over a device mesh."""
+        T = masked.shape[0]
+        Tb = _round_up(max(T, self.stride), self.t_bucket)
+        if Tb != T:
+            masked = np.concatenate(
+                [masked, np.repeat(masked[-1:], Tb - T, axis=0)], axis=0)
+            masks = np.concatenate(
+                [masks, np.repeat(masks[-1:], Tb - T, axis=0)], axis=0)
+        key = ("sharded", Tb, id(mesh))
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = self._build_sharded(Tb, mesh)
+            self._compiled[key] = fn
+        out = np.asarray(fn(jnp.asarray(masked), jnp.asarray(masks)))
+        return out[:T]
+
     def batch(self, masked: np.ndarray, masks: np.ndarray) -> np.ndarray:
         """Reconstruct a batch of equal-length events in ONE compiled call.
 

@@ -100,6 +100,25 @@ def test_metric_state_psum_reduction(rng):
                                    rtol=1e-6)
 
 
+def test_window_sharded_inference_matches_single_device(rng):
+    """Window-parallel (CP-analogue) reconstruction == sequential result."""
+    from p2igan_tpu.inference.driver import SlidingWindowReconstructor
+    from p2igan_tpu.models import SimpleGenerator
+
+    gen = SimpleGenerator(base_channels=4)
+    masked0 = np.zeros((1, 4, 16, 16, 1), np.float32)
+    vars_ = gen.init(jax.random.key(0), masked0, masked0)
+    recon = SlidingWindowReconstructor(gen, vars_, stride=8, overlap=4,
+                                       window_batch=2, t_bucket=8)
+    T = 20
+    masked = rng.random((T, 16, 16, 1)).astype(np.float32)
+    masks = (rng.random((T, 16, 16, 1)) < 0.3).astype(np.float32)
+    ref = recon(masked, masks)
+    mesh = create_mesh()
+    out = recon.sharded(masked, masks, mesh)
+    np.testing.assert_allclose(ref, out, atol=2e-3, rtol=1e-4)
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 

@@ -16,7 +16,7 @@ framework consumes:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import re
-from pathlib import Path
+
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np

@@ -25,7 +25,7 @@ from __future__ import annotations
 import ctypes
 import ctypes.util
 import json
-import os
+
 import shutil
 import zlib as _zlib
 from pathlib import Path

@@ -19,7 +19,7 @@ running mean ``cur + (new - cur)/(k+1)`` (infer.py:247-260), provenance attrs
 
 from __future__ import annotations
 
-import functools
+
 import logging
 import shutil
 import time

@@ -10,7 +10,7 @@ MXU instead of gather-heavy interpolation).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

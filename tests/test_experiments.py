@@ -3,8 +3,8 @@ import json
 import numpy as np
 import pytest
 
-from experiments import exp1, exp2, exp3
-from experiments.io import (align_length, crop_center, ensure_thw, load_zarr_array,
+from experiments import exp1, exp3
+from experiments.io import (ensure_thw, load_zarr_array,
                             mask_for_input, select_by_mask)
 from p2igan_tpu.data import fake, zarrlite
 

@@ -1,7 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
+
 
 from p2igan_tpu.models import (
     DKGenerator,

@@ -1,6 +1,6 @@
 """Golden-value tests: ops layer vs torch CPU semantics."""
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 import pytest

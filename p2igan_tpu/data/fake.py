@@ -52,9 +52,10 @@ def write_h5_events(out_dir: str | Path, n_events: int = 2, T: int = 16,
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     paths = []
+    # files named "<id>.h5" with ids 1..N, matching the reference's storm-event
+    # layout so tozarr's event_%02d keys line up with inference output keys
     for i in range(n_events):
-        ts = 202101010000 + i * 100
-        p = out_dir / f"{ts}.h5"
+        p = out_dir / f"{i + 1}.h5"
         with h5py.File(p, "w") as f:
             f.create_dataset("frames", data=synthesize_event(rng, T, H, W))
         paths.append(p)

@@ -1,0 +1,82 @@
+"""Full benchmark chain: fake h5 events -> tozarr truth store -> train ->
+sliding-window inference -> offline experiments suite over the real outputs.
+
+This is the framework-level equivalent of the reference's documented workflow
+(README: prepare data -> train.py -> infer.py -> experiments.main)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from p2igan_tpu.data import fake, zarrlite
+from p2igan_tpu.inference.driver import run_inference
+from p2igan_tpu.training.trainer import Trainer
+
+
+@pytest.mark.slow
+def test_fake_data_to_experiments(tmp_path, monkeypatch):
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    hw, t = 32, 4
+    events_dir = tmp_path / "test_events"
+    fake.write_h5_events(events_dir, n_events=2, T=10, H=hw, W=hw)
+    mask_train = fake.write_gauge_mask(tmp_path / "masks" / "train.txt", H=hw,
+                                       W=hw, n_gauges=12, seed=1)
+    mask_test = fake.write_gauge_mask(tmp_path / "masks" / "test.txt", H=hw,
+                                      W=hw, n_gauges=12, seed=2)
+
+    # truth store via the tozarr CLI (event_%02d keys match inference order)
+    truth_zarr = tmp_path / "nimrod_test.zarr"
+    subprocess.run([sys.executable, "scripts/tozarr.py", "--h5-dir",
+                    str(events_dir), "--output", str(truth_zarr)], check=True)
+    tz = zarrlite.open(truth_zarr)
+    assert tz.array_keys() == ["event_01", "event_02"]
+
+    cfg = {
+        "seed": 5,
+        "save_dir": str(tmp_path / "weights"),
+        "model": {"name": "simple", "in_channels": 1, "base_channels": 4},
+        "data": {
+            "train": {"data_root": str(events_dir), "w": hw, "h": hw,
+                      "sample_length": t,
+                      "mask": {"type": "stis", "file": str(mask_train)}},
+            "test": {"data_root": str(events_dir), "w": hw, "h": hw,
+                     "sample_length": None},
+        },
+        "loss": {"use_gan": 0, "k1_weight": 0.0},
+        "train": {"optimizer": {"lr": 1e-3}, "batch_size": 2, "num_workers": 1,
+                  "iterations": 2, "log_step": 1, "use_validation": False},
+    }
+    Trainer(cfg).train()
+    preds_zarr = run_inference(cfg, stride=t, overlap=1,
+                               output=str(tmp_path / "infer" / "p2igan.zarr"),
+                               overwrite=True)
+
+    econf = {
+        "experiment_name": "chain", "save_dir": str(tmp_path / "results"),
+        "mode": "radar", "run_exp1": True, "run_exp2_gif": False,
+        "run_exp2_pdf": False, "run_exp3": True, "crop_size": hw,
+        "data": {"radar": {
+            "observation_path": str(truth_zarr),
+            "truth_path": str(truth_zarr),
+            "methods": {"P2IGAN": str(preds_zarr)},
+            "mask_train_path": str(mask_train),
+            "mask_test_path": str(mask_test),
+        }},
+    }
+    cfg_path = tmp_path / "exp.json"
+    cfg_path.write_text(json.dumps(econf))
+    from experiments.main import main as exp_main
+
+    exp_main(config_path=str(cfg_path))
+    metrics = json.loads(
+        (tmp_path / "results" / "chain" / "exp1" / "metrics.json").read_text())
+    m = metrics["P2IGAN"]
+    for key in ("MAE", "RMSE", "SSIM", "NSE", "CAT_0.5"):
+        assert key in m
+    assert np.isfinite(m["MAE"]) and m["MAE"] >= 0
+    exp3 = json.loads(
+        (tmp_path / "results" / "chain" / "exp3" / "metrics.json").read_text())
+    assert "NSE_P2IGAN" in exp3

@@ -160,10 +160,28 @@ def idw_3d_factored(
 
     gpix = safe[gsel]                                  # (HW, k)
     # reorder each pixel's selected gauges by ascending pixel index (top-k
-    # ranks them by distance; flat-order tie-breaking needs pixel order)
-    order = jnp.argsort(gpix, axis=1)
-    gpix = jnp.take_along_axis(gpix, order, axis=1)
-    gd2 = jnp.take_along_axis(gd2, order, axis=1)
+    # ranks them by distance; flat-order tie-breaking needs pixel order).
+    # A fixed compare-swap network on the k columns is ~50x faster on TPU
+    # than XLA's general sort for k=4.
+    gp_cols = [gpix[:, i] for i in range(k)]
+    gd_cols = [gd2[:, i] for i in range(k)]
+
+    def swap(i, j):
+        lt = gp_cols[i] <= gp_cols[j]
+        gp_cols[i], gp_cols[j] = (jnp.where(lt, gp_cols[i], gp_cols[j]),
+                                  jnp.where(lt, gp_cols[j], gp_cols[i]))
+        gd_cols[i], gd_cols[j] = (jnp.where(lt, gd_cols[i], gd_cols[j]),
+                                  jnp.where(lt, gd_cols[j], gd_cols[i]))
+
+    if k == 4:
+        for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            swap(i, j)
+    else:  # generic bubble network
+        for end in range(k - 1, 0, -1):
+            for i in range(end):
+                swap(i, i + 1)
+    gpix = jnp.stack(gp_cols, axis=1)
+    gd2 = jnp.stack(gd_cols, axis=1)
     vals2d = values_dhw.reshape(D, HW)
     # FRAME-MAJOR candidate layout (HW, D, k): candidate index = f*k + slot is
     # lexicographic in (frame, pixel) because gauge slots ascend in pixel

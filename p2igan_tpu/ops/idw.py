@@ -135,20 +135,31 @@ def idw_3d_factored(
     qy = jnp.repeat(jnp.asarray(np.linspace(0, 1, H, dtype=np.float32)), W)
     qx = jnp.tile(jnp.asarray(np.linspace(0, 1, W, dtype=np.float32)), H)
 
-    dxy2 = (qx[:, None] - gx[None, :]) ** 2 + (qy[:, None] - gy[None, :]) ** 2
-    dxy2 = jnp.where(gvalid[None, :], dxy2, big)  # (HW, G)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
-    # top-k gauges per pixel (iterative argmin, lowest index on ties)
-    colg = jax.lax.broadcasted_iota(jnp.int32, dxy2.shape, 1)
-    gd2_list, gsel_list = [], []
-    dwork = dxy2
-    for _ in range(k):
-        idx = jnp.argmin(dwork, axis=1)
-        gd2_list.append(jnp.min(dwork, axis=1))
-        gsel_list.append(idx)
-        dwork = jnp.where(colg == idx[:, None], big, dwork)
-    gd2 = jnp.stack(gd2_list, axis=1)    # (HW, k)
-    gsel = jnp.stack(gsel_list, axis=1)  # (HW, k) indices into gauge slots
+    if use_pallas:
+        from .pallas.idw_factored_kernel import gauge_topk_pallas
+
+        penalty = jnp.where(gvalid, 0.0, big)
+        gd2_t, gsel_t = gauge_topk_pallas(qx, qy, gx, gy, penalty, k=k)
+        gd2 = jnp.transpose(gd2_t)           # (HW, k)
+        gsel = jnp.transpose(gsel_t)
+    else:
+        dxy2 = (qx[:, None] - gx[None, :]) ** 2 + (qy[:, None] - gy[None, :]) ** 2
+        dxy2 = jnp.where(gvalid[None, :], dxy2, big)  # (HW, G)
+
+        # top-k gauges per pixel (iterative argmin, lowest index on ties)
+        colg = jax.lax.broadcasted_iota(jnp.int32, dxy2.shape, 1)
+        gd2_list, gsel_list = [], []
+        dwork = dxy2
+        for _ in range(k):
+            idx = jnp.argmin(dwork, axis=1)
+            gd2_list.append(jnp.min(dwork, axis=1))
+            gsel_list.append(idx)
+            dwork = jnp.where(colg == idx[:, None], big, dwork)
+        gd2 = jnp.stack(gd2_list, axis=1)    # (HW, k)
+        gsel = jnp.stack(gsel_list, axis=1)  # (HW, k) indices into gauge slots
 
     # all frames stay candidates (a frame pre-cut can drop one member of a
     # ULP-level symmetric +-z tie whose flat-order resolution needs it); only
@@ -189,8 +200,6 @@ def idw_3d_factored(
     # (t-major) nonzero order; no explicit tie handling needed.
     cvals = jnp.transpose(vals2d[:, gpix], (1, 0, 2)).reshape(HW, D * k)
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from .pallas.idw_factored_kernel import combine_with_vjp
 

@@ -99,6 +99,65 @@ def factored_combine_pallas(gd2_t: jax.Array,    # (k, HW) gauge dists^2
     return out[:, :HW]
 
 
+def _gauge_topk_kernel(qx_ref, qy_ref, gx_ref, gy_ref, pen_ref,
+                       gd2_ref, gsel_ref, *, k: int):
+    """Per-pixel gauge distances + top-k extraction in VMEM.
+
+    qx/qy: (1, B) pixel coords; gx/gy/pen: (G, 1) gauge coords + validity
+    penalty. Outputs gd2/gsel: (k, B). Lowest-index tie-break (argmin).
+    """
+    qx = qx_ref[...]
+    qy = qy_ref[...]
+    gx = gx_ref[...]
+    gy = gy_ref[...]
+    dx = qx - gx
+    dy = qy - gy
+    d = dx * dx + dy * dy + pen_ref[...]     # (G, B)
+    G, B = d.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (G, B), 0)
+    BIG = jnp.float32(1e30)
+    for a in range(k):
+        gd2_ref[a, :] = jnp.min(d, axis=0)
+        idx = jnp.argmin(d, axis=0)
+        gsel_ref[a, :] = idx
+        d = jnp.where(row == idx[None, :], BIG, d)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "hw_block"))
+def gauge_topk_pallas(qx: jax.Array, qy: jax.Array, gx: jax.Array,
+                      gy: jax.Array, penalty: jax.Array, k: int = 4,
+                      hw_block: int = 512):
+    """(HW,) pixel coords + (G,) gauge data -> per-pixel top-k gauge
+    distances^2 (k, HW) and slot indices (k, HW)."""
+    HW = qx.shape[0]
+    G = gx.shape[0]
+    HWp = -(-HW // hw_block) * hw_block
+    if HWp != HW:
+        qx = jnp.pad(qx, (0, HWp - HW))
+        qy = jnp.pad(qy, (0, HWp - HW))
+    gd2, gsel = pl.pallas_call(
+        functools.partial(_gauge_topk_kernel, k=k),
+        grid=(HWp // hw_block,),
+        in_specs=[
+            pl.BlockSpec((1, hw_block), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hw_block), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k, hw_block), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, hw_block), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, HWp), jnp.float32),
+            jax.ShapeDtypeStruct((k, HWp), jnp.int32),
+        ),
+    )(qx.reshape(1, HWp), qy.reshape(1, HWp), gx.reshape(G, 1),
+      gy.reshape(G, 1), penalty.reshape(G, 1))
+    return gd2[:, :HW], gsel[:, :HW]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def combine_with_vjp(gd2_t, cvals_t, dz2, k, D, rho, tau):
     """Pallas forward; backward re-derived from the identical XLA combine."""

@@ -30,7 +30,8 @@ def main() -> None:
     T = 16
 
     gen = P2IGenerator(H=H, W=W, length=T, base_channels=64,
-                       idw_max_points=1280, idw_chunk=16384, idw_factored=True)
+                       idw_max_points=1280, idw_chunk=16384, idw_factored=True,
+                       idw_shared_batch_mask=True)
     rng = np.random.default_rng(0)
     init_masked = jnp.zeros((4, T, H, W, 1), jnp.float32)
     mask_flat = np.zeros((H * W,), np.float32)

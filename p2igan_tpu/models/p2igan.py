@@ -62,6 +62,7 @@ class P2IGenerator(nn.Module):
     idw_max_points: int = 2048
     idw_chunk: int = 16384
     idw_factored: bool = False  # exact fast path for frame-constant masks
+    idw_shared_batch_mask: bool = False  # one spatial mask for the whole batch
     compute_dtype: Any = jnp.float32
 
     @classmethod
@@ -83,12 +84,15 @@ class P2IGenerator(nn.Module):
             n_pts = length * H * W // 8
         max_points = kw.pop("idw_max_points", -(-n_pts // 128) * 128)
         # sti/stis masks share one spatial pattern across frames -> the
-        # factorized exact k-NN applies (stin/fi/nowcasting do not qualify)
+        # factorized exact k-NN applies (stin/fi/nowcasting do not qualify);
+        # stis masks come from one fixed gauge file, so the whole batch also
+        # shares the mask and its gauge selection is computed once
         factored = kw.pop("idw_factored", mask_type in ("sti", "stis"))
+        shared = kw.pop("idw_shared_batch_mask", mask_type == "stis")
         return cls(H=H, W=W, length=length,
                    base_channels=model_cfg.get("base_channels", 64),
                    inference=inference, idw_max_points=max_points,
-                   idw_factored=factored, **kw)
+                   idw_factored=factored, idw_shared_batch_mask=shared, **kw)
 
     @nn.compact
     def __call__(self, masked_frames: jax.Array, masks: jax.Array) -> jax.Array:
@@ -102,7 +106,9 @@ class P2IGenerator(nn.Module):
 
         x = InputBlock(depth=2, k=4, rho=2.0, tau=0.05, chunk=self.idw_chunk,
                        max_points=self.idw_max_points,
-                       factored=self.idw_factored, name="input")(x_in, m_in)
+                       factored=self.idw_factored,
+                       shared_batch_mask=self.idw_shared_batch_mask,
+                       name="input")(x_in, m_in)
         x = x.astype(self.compute_dtype)
 
         x_ = BasicConvDO(t * c, base, 3, relu=False, groups=4, factored=factored,

@@ -98,27 +98,21 @@ def idw_3d_knn(
     return out.reshape(D, H, W)
 
 
-def idw_3d_factored(
-    mask_xy: jax.Array,     # (H, W) spatial observation pattern (>0 = observed)
-    values_dhw: jax.Array,  # (D, H, W) values at observed locations
+def factored_prepare(
+    mask_xy: jax.Array,  # (H, W) spatial observation pattern (>0 = observed)
     max_gauges: int,
     k: int = 4,
-    rho: float = 2.0,
-    tau: float = 0.05,
-    use_pallas: bool | None = None,  # None = auto: the fused Mosaic kernel on
-    # TPU (it also compiles far faster there than the XLA scan formulation)
-) -> jax.Array:
-    """Exact IDW k-NN for masks constant across frames (sti / stis types).
+    use_pallas: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mask-derived stage of the factorized IDW: per-pixel top-k gauge
+    distances^2 and flat pixel indices, sorted in ascending pixel order.
 
-    The observation set factorizes as {G gauge pixels} x {D frames}, so any
-    point in the global top-k must pair a top-k spatial gauge (per pixel)
-    with a top-k frame (per z): a (g, f) pair beaten by >= k same-g pairs at
-    nearer frames, or >= k same-f pairs at nearer gauges, cannot be a global
-    top-k member. Work drops from Q x (G*D) distances to Q x k^2 candidates.
-    Ties break by flat (t-major) point index, matching the reference's
-    nonzero ordering (layer.py:329-344).
+    Split out so callers whose batch shares one mask (stis gauge files;
+    sliding-window inference over one event) compute it ONCE and reuse it
+    across samples via ``factored_apply``.
+    Returns (gd2 (HW, k), gpix (HW, k)).
     """
-    D, H, W = values_dhw.shape
+    H, W = mask_xy.shape
     HW = H * W
     big = jnp.float32(1e30)
 
@@ -161,14 +155,6 @@ def idw_3d_factored(
         gd2 = jnp.stack(gd2_list, axis=1)    # (HW, k)
         gsel = jnp.stack(gsel_list, axis=1)  # (HW, k) indices into gauge slots
 
-    # all frames stay candidates (a frame pre-cut can drop one member of a
-    # ULP-level symmetric +-z tie whose flat-order resolution needs it); only
-    # the spatial gauge cut prunes — any global top-k pair's gauge must be in
-    # its pixel's top-k gauges (same-frame domination argument)
-    zq = jnp.asarray(np.linspace(0, 1, D, dtype=np.float32))   # grid z
-    zp = jnp.arange(D, dtype=jnp.float32) / max(D - 1, 1)      # point z
-    dz2 = (zq[:, None] - zp[None, :]) ** 2  # (D query z, D frames)
-
     gpix = safe[gsel]                                  # (HW, k)
     # reorder each pixel's selected gauges by ascending pixel index (top-k
     # ranks them by distance; flat-order tie-breaking needs pixel order).
@@ -193,6 +179,32 @@ def idw_3d_factored(
                 swap(i, i + 1)
     gpix = jnp.stack(gp_cols, axis=1)
     gd2 = jnp.stack(gd_cols, axis=1)
+    return gd2, gpix
+
+
+def factored_apply(
+    gd2: jax.Array,         # (HW, k) from factored_prepare
+    gpix: jax.Array,        # (HW, k) from factored_prepare
+    values_dhw: jax.Array,  # (D, H, W)
+    k: int = 4,
+    rho: float = 2.0,
+    tau: float = 0.05,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Value-dependent stage of the factorized IDW (see factored_prepare)."""
+    D, H, W = values_dhw.shape
+    HW = H * W
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    # all frames stay candidates (a frame pre-cut can drop one member of a
+    # ULP-level symmetric +-z tie whose flat-order resolution needs it); only
+    # the spatial gauge cut prunes — any global top-k pair's gauge must be in
+    # its pixel's top-k gauges (same-frame domination argument)
+    zq = jnp.asarray(np.linspace(0, 1, D, dtype=np.float32))   # grid z
+    zp = jnp.arange(D, dtype=jnp.float32) / max(D - 1, 1)      # point z
+    dz2 = (zq[:, None] - zp[None, :]) ** 2  # (D query z, D frames)
+
     vals2d = values_dhw.reshape(D, HW)
     # FRAME-MAJOR candidate layout (HW, D, k): candidate index = f*k + slot is
     # lexicographic in (frame, pixel) because gauge slots ascend in pixel
@@ -208,6 +220,30 @@ def idw_3d_factored(
         return out.reshape(D, H, W)
 
     return _factored_combine_xla(gd2, cvals, dz2, k, rho, tau).reshape(D, H, W)
+
+
+def idw_3d_factored(
+    mask_xy: jax.Array,     # (H, W) spatial observation pattern (>0 = observed)
+    values_dhw: jax.Array,  # (D, H, W) values at observed locations
+    max_gauges: int,
+    k: int = 4,
+    rho: float = 2.0,
+    tau: float = 0.05,
+    use_pallas: bool | None = None,  # None = auto: the fused Mosaic kernels on
+    # TPU (they also compile far faster there than the XLA scan formulation)
+) -> jax.Array:
+    """Exact IDW k-NN for masks constant across frames (sti / stis types).
+
+    The observation set factorizes as {G gauge pixels} x {D frames}, so any
+    point in the global top-k must pair a top-k spatial gauge (per pixel)
+    with some frame: a (g, f) pair beaten by >= k same-f pairs at nearer
+    gauges cannot be a global top-k member. Work drops from Q x (G*D)
+    distances to Q x (k*D) candidates. Ties break by flat (t-major) point
+    index, matching the reference's nonzero ordering (layer.py:329-344).
+    """
+    gd2, gpix = factored_prepare(mask_xy, max_gauges, k=k, use_pallas=use_pallas)
+    return factored_apply(gd2, gpix, values_dhw, k=k, rho=rho, tau=tau,
+                          use_pallas=use_pallas)
 
 
 def _factored_combine_xla(gd2: jax.Array,    # (HW, k)

@@ -256,6 +256,7 @@ class InputBlock(nn.Module):
     max_points: int = 2048
     use_pallas: Optional[bool] = None  # None = auto (TPU backend)
     factored: bool = False  # exact fast path for frame-constant masks (sti/stis)
+    shared_batch_mask: bool = False  # all batch samples share one spatial mask
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
@@ -273,14 +274,24 @@ class InputBlock(nn.Module):
 
         if self.factored:
             # mask is constant across frames: use the factorized exact k-NN
+            from .idw import factored_apply, factored_prepare
+
             max_gauges = -(-self.max_points // max(D, 1) // 128) * 128
             max_gauges = max(max_gauges, 128)
 
-            def one(m, v):
-                return idw_3d_factored(m[0], v, max_gauges, k=self.k,
-                                       rho=self.rho, tau=self.tau)
+            if self.shared_batch_mask:
+                # every sample shares one spatial mask (stis gauge files /
+                # sliding windows of one event): the mask-derived gauge
+                # selection is computed ONCE for the batch
+                gd2, gpix = factored_prepare(mask_dhw[0, 0], max_gauges, k=self.k)
+                out = jax.vmap(lambda v: factored_apply(
+                    gd2, gpix, v, k=self.k, rho=self.rho, tau=self.tau))(vals_dhw)
+            else:
+                def one(m, v):
+                    return idw_3d_factored(m[0], v, max_gauges, k=self.k,
+                                           rho=self.rho, tau=self.tau)
 
-            out = jax.vmap(one)(mask_dhw, vals_dhw)
+                out = jax.vmap(one)(mask_dhw, vals_dhw)
             return jnp.transpose(out, (0, 2, 3, 1))
 
         use_pallas = self.use_pallas

@@ -80,3 +80,22 @@ def test_factored_single_frame():
     out = np.asarray(IDW.idw_3d_factored(jnp.asarray(mask_xy), jnp.asarray(values),
                                          max_gauges=128))
     np.testing.assert_allclose(out, 3.0, atol=1e-5)
+
+
+def test_shared_batch_mask_inputblock_equivalence(rng):
+    """InputBlock shared-mask fast path == per-sample factored path."""
+    import jax
+    from p2igan_tpu.ops.layers import InputBlock
+
+    B, H, W, D = 3, 16, 16, 4
+    mask_xy = np.zeros((H * W,), np.float32)
+    mask_xy[rng.choice(H * W, 10, replace=False)] = 1.0
+    masks = np.broadcast_to(mask_xy.reshape(1, H, W, 1), (B, H, W, D)).copy()
+    x = rng.random((B, H, W, D)).astype(np.float32) * masks
+
+    a = InputBlock(factored=True, shared_batch_mask=False, max_points=D * 128)
+    b = InputBlock(factored=True, shared_batch_mask=True, max_points=D * 128)
+    va = a.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(masks))
+    out_a = a.apply(va, jnp.asarray(x), jnp.asarray(masks))
+    out_b = b.apply(va, jnp.asarray(x), jnp.asarray(masks))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)

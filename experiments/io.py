@@ -1,4 +1,10 @@
-"""Offline-eval I/O helpers (re-design of reference ``experiments/io.py``)."""
+"""Offline-eval I/O helpers (capability parity with reference ``experiments/io.py``).
+
+Array plumbing for the evaluation suite: shape normalization, center
+cropping, gauge-mask loading, zarr store loading (via the self-contained
+``zarrlite`` backend — no ``zarr``/``xarray`` dependency), masked pixel
+selection, and run-artifact writers.
+"""
 
 from __future__ import annotations
 
@@ -11,79 +17,103 @@ import numpy as np
 
 from p2igan_tpu.data import zarrlite
 
+ArrayOrEvents = Union[np.ndarray, Dict[str, np.ndarray]]
+
 
 def ensure_thw(arr: np.ndarray) -> np.ndarray:
-    """Squeeze (1,T,C,H,W)/(T,1,H,W)/(T,H,W,1) variants down to (T,H,W)."""
-    if arr.ndim == 5 and arr.shape[0] == 1:
-        arr = arr[0]
-    if arr.ndim == 4 and arr.shape[1] == 1:
-        arr = arr[:, 0]
-    if arr.ndim == 4 and arr.shape[-1] == 1:
-        arr = arr[..., 0]
+    """Normalize any of the pipeline's array layouts to (T, H, W).
+
+    Accepts (T,H,W), a leading singleton batch (1,T,C,H,W), a singleton
+    channel in torch position (T,1,H,W) or channel-last position (T,H,W,1),
+    squeezing in that order until three dims remain.
+    """
+    squeeze_order = (
+        lambda a: a[0] if a.ndim == 5 and a.shape[0] == 1 else a,
+        lambda a: a[:, 0] if a.ndim == 4 and a.shape[1] == 1 else a,
+        lambda a: a[..., 0] if a.ndim == 4 and a.shape[-1] == 1 else a,
+    )
+    for fn in squeeze_order:
+        arr = fn(arr)
     if arr.ndim != 3:
         raise ValueError(f"Expected [T,H,W], got shape {arr.shape}")
     return arr
 
 
 def crop_center(arr: np.ndarray, size: int) -> np.ndarray:
+    """Center-crop the spatial dims of a (T, H, W)-normalizable array."""
     arr = ensure_thw(arr)
-    t, h, w = arr.shape
+    _, h, w = arr.shape
     if size > min(h, w):
         raise ValueError(f"crop size {size} exceeds input {h}x{w}")
-    top = (h - size) // 2
-    left = (w - size) // 2
-    return arr[:, top:top + size, left:left + size]
+    y0, x0 = (h - size) // 2, (w - size) // 2
+    return arr[:, y0:y0 + size, x0:x0 + size]
 
 
 def load_mask(path: str) -> np.ndarray:
+    """Whitespace txt gauge mask -> (H, W) bool."""
     return np.loadtxt(path).astype(bool)
 
 
 def load_zarr_array(path: str, key: Optional[str] = None,
-                    return_events: bool = False) -> Union[np.ndarray, Dict[str, np.ndarray]]:
-    """Load a zarr store: per-event dict (groups or arrays) or a flat array."""
-    z = zarrlite.open(path, mode="r")
+                    return_events: bool = False) -> ArrayOrEvents:
+    """Load a zarr store.
+
+    ``return_events=True`` yields a per-event dict keyed by the store's
+    groups (or arrays); otherwise the named array (or the first one) is
+    returned as a single ndarray.
+    """
+    store = zarrlite.open(path, mode="r")
+    if isinstance(store, zarrlite.Array):
+        return np.asarray(store)
     if return_events:
-        if isinstance(z, zarrlite.Group):
-            keys = z.group_keys() or z.array_keys()
-            if keys:
-                return {k: np.asarray(z[k]) for k in keys}
-    if isinstance(z, zarrlite.Group):
-        keys = z.array_keys()
-        if key is not None:
-            return np.asarray(z[key])
+        keys = store.group_keys() or store.array_keys()
         if keys:
-            return np.asarray(z[keys[0]])
+            return {name: np.asarray(store[name]) for name in keys}
+    if key is not None:
+        return np.asarray(store[key])
+    arrays = store.array_keys()
+    if not arrays:
         raise ValueError(f"No arrays found in {path}")
-    return np.asarray(z)
+    return np.asarray(store[arrays[0]])
 
 
 def align_length(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    a = ensure_thw(a)
-    b = ensure_thw(b)
-    n = min(a.shape[0], b.shape[0])
+    """Truncate both sequences to the shorter one's frame count."""
+    a, b = ensure_thw(a), ensure_thw(b)
+    n = min(len(a), len(b))
     return a[:n], b[:n]
 
 
-def select_by_mask(arr: np.ndarray, mask: np.ndarray, invert: bool = False) -> np.ndarray:
-    """Flatten pixels at (optionally inverted) mask locations -> (T, n_sel)."""
+def select_by_mask(arr: np.ndarray, mask: np.ndarray,
+                   invert: bool = False) -> np.ndarray:
+    """Per-frame pixel selection: (T, H, W) + (H, W) mask -> (T, n_selected).
+
+    ``invert=True`` selects the held-out (unobserved) pixels — the radar
+    evaluation mode; ``invert=False`` selects gauge pixels.
+    """
     arr = ensure_thw(arr)
-    mask = mask.astype(bool)
-    if mask.shape != arr.shape[1:]:
-        raise ValueError(f"Mask shape {mask.shape} != data shape {arr.shape[1:]}")
-    if invert:
-        mask = ~mask
-    return arr.reshape(arr.shape[0], -1)[:, mask.ravel()]
+    sel = np.asarray(mask, dtype=bool)
+    if sel.shape != arr.shape[1:]:
+        raise ValueError(f"Mask shape {sel.shape} != data shape {arr.shape[1:]}")
+    sel = ~sel if invert else sel
+    return arr[:, sel]
 
 
 def mask_for_input(arr: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    arr = ensure_thw(arr)
-    mask = mask.astype(bool)
-    if mask.shape != arr.shape[1:]:
-        raise ValueError(f"Mask shape {mask.shape} != data shape {arr.shape[1:]}")
-    out = arr.copy()
-    out[:, mask] = 0.0
-    return out
+    """Zero out the masked pixels of every frame (returns a copy)."""
+    arr = ensure_thw(arr).copy()
+    sel = np.asarray(mask, dtype=bool)
+    if sel.shape != arr.shape[1:]:
+        raise ValueError(f"Mask shape {sel.shape} != data shape {arr.shape[1:]}")
+    arr[:, sel] = 0.0
+    return arr
+
+
+# -- run-artifact writers ---------------------------------------------------
+
+
+def ensure_dir(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
 
 
 def save_json(path: str, payload: Dict) -> None:
@@ -91,21 +121,16 @@ def save_json(path: str, payload: Dict) -> None:
         json.dump(payload, f, indent=2, sort_keys=True)
 
 
-def ensure_dir(path: str) -> None:
-    os.makedirs(path, exist_ok=True)
+def save_text(path: str, lines: Iterable[str]) -> None:
+    body = "\n".join(line.rstrip() for line in lines)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(body + ("\n" if body else ""))
 
 
 def save_config_snapshot(path: str, cfg) -> None:
+    """Persist the experiment config (dataclass / object / dict) as JSON."""
     if is_dataclass(cfg):
         payload = asdict(cfg)
-    elif hasattr(cfg, "__dict__"):
-        payload = cfg.__dict__
     else:
-        payload = cfg
+        payload = getattr(cfg, "__dict__", cfg)
     save_json(path, payload)
-
-
-def save_text(path: str, lines: Iterable[str]) -> None:
-    with open(path, "w", encoding="utf-8") as f:
-        for line in lines:
-            f.write(line.rstrip() + "\n")

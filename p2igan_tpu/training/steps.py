@@ -8,7 +8,8 @@ all-reduce emerges as XLA collectives from the sharding annotations (riding
 ICI) — no hand-written communication.
 
 Semantics preserved from the reference ordering:
-  1. preds = G(masked, masks)
+  1. preds = G(masked, masks)  — ONE forward per batch (train.py:243); the
+     D step consumes stop_gradient(preds) (== preds.detach(), train.py:264)
   2. D step on (stop_gradient(preds), frames), hinge/nsgan/lsgan, 0.5*(r+f)
   3. D params updated, THEN generator adversarial logits use the updated D
      (train.py:264-309)
@@ -17,6 +18,14 @@ Each training D forward advances the spectral-norm power iteration once
 (threaded state replaces torch's in-place buffer mutation); torch's
 requires_grad freezing becomes structural — G grads are taken only w.r.t.
 generator params.
+
+The single forward is realized with ``jax.vjp``: the generator runs once,
+its pullback is stored, the G loss (+ its gradient w.r.t. ``preds``) is
+computed from the cached ``preds``, and generator parameter gradients are the
+pullback of ``dL/dpreds``. This matches torch autograd's cost shape — the
+round-1 two-forward variant re-ran the full generator (IDW InputBlock ~70%
+of forward cost) inside ``value_and_grad`` and is kept only for the
+equivalence test (``single_forward=False``).
 """
 
 from __future__ import annotations
@@ -105,6 +114,7 @@ def build_train_step(
     gan_real_label: float = 1.0,
     gan_fake_label: float = 0.0,
     donate: bool = True,
+    single_forward: bool = True,
 ) -> Callable[[TrainState, jax.Array, jax.Array, jax.Array],
               Tuple[TrainState, Dict[str, jax.Array]]]:
     gen_apply = _gen_apply_factory(gen)
@@ -113,10 +123,84 @@ def build_train_step(
                              target_real_label=gan_real_label,
                              target_fake_label=gan_fake_label)
 
+    def _d_step(preds0, frames, disc_params, disc_extra, opt_d_state):
+        """Discriminator update on detached preds (train.py:264-295)."""
+        def d_loss_fn(p, extra):
+            logits_fake, extra = disc_apply(p, extra, preds0, True)
+            logits_real, extra = disc_apply(p, extra, frames, True)
+            loss_d = (_gan(logits_real, True, is_disc=True)
+                      + _gan(logits_fake, False, is_disc=True)) * 0.5
+            return loss_d, extra
+
+        (loss_d, disc_extra), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(disc_params, disc_extra)
+        d_updates, opt_d_state = opt_d.update(d_grads, opt_d_state, disc_params)
+        disc_params = optax.apply_updates(disc_params, d_updates)
+        return loss_d, disc_params, disc_extra, opt_d_state
+
     def step(state: TrainState, frames, masked, masks):
         metrics: Dict[str, jax.Array] = {}
 
-        # ---- forward G once for the D step ------------------------------
+        # ---- forward G ONCE, keeping the pullback ------------------------
+        def fwd(p):
+            preds, g_extra = gen_apply(p, state.gen_extra, masked, masks,
+                                       train=True)
+            return preds, g_extra
+
+        preds, gen_vjp, g_extra = jax.vjp(fwd, state.gen_params, has_aux=True)
+        preds0 = jax.lax.stop_gradient(preds)
+
+        disc_params = state.disc_params
+        disc_extra = state.disc_extra
+        opt_d_state = state.opt_d
+
+        if use_gan and disc is not None:
+            loss_d, disc_params, disc_extra, opt_d_state = _d_step(
+                preds0, frames, disc_params, disc_extra, opt_d_state)
+            metrics["dis_loss"] = loss_d
+
+        # ---- G loss from cached preds (uses the UPDATED discriminator) ---
+        def g_loss_from_preds(preds_in, d_extra):
+            rec, parts = reconstruction_loss(preds_in, frames, k1_alpha)
+            loss = rec
+            adv = jnp.asarray(0.0, rec.dtype)
+            if use_gan and disc is not None:
+                logits, d_extra = disc_apply(jax.lax.stop_gradient(disc_params),
+                                             d_extra, preds_in, True)
+                adv = _gan(logits, True, is_disc=False) * adversarial_weight
+                loss = loss + adv
+            aux = {"rec_loss": rec, "adv_loss": adv, "pool": parts["pool"],
+                   "reg": parts["reg"], "d_extra": d_extra}
+            return loss, aux
+
+        (loss_g, aux), dpreds = jax.value_and_grad(
+            g_loss_from_preds, has_aux=True)(preds, disc_extra)
+        (g_grads,) = gen_vjp(dpreds)
+        g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        metrics.update({
+            "loss": loss_g,
+            "rec_loss": aux["rec_loss"],
+            "adv_loss": aux["adv_loss"],
+            "pool": aux["pool"],
+            "reg": aux["reg"],
+        })
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params,
+            gen_extra=g_extra,
+            opt_g=opt_g_state,
+            disc_params=disc_params,
+            disc_extra=aux["d_extra"] if (use_gan and disc is not None) else disc_extra,
+            opt_d=opt_d_state,
+        )
+        return new_state, metrics
+
+    def step_twoforward(state: TrainState, frames, masked, masks):
+        # Round-1 shape, kept for the equivalence test: G runs twice
+        # (train=False for the D step, train=True inside value_and_grad).
+        metrics: Dict[str, jax.Array] = {}
         preds0, _ = gen_apply(state.gen_params, state.gen_extra, masked, masks,
                               train=False)
         preds0 = jax.lax.stop_gradient(preds0)
@@ -124,22 +208,11 @@ def build_train_step(
         disc_params = state.disc_params
         disc_extra = state.disc_extra
         opt_d_state = state.opt_d
-
         if use_gan and disc is not None:
-            def d_loss_fn(p, extra):
-                logits_fake, extra = disc_apply(p, extra, preds0, True)
-                logits_real, extra = disc_apply(p, extra, frames, True)
-                loss_d = (_gan(logits_real, True, is_disc=True)
-                          + _gan(logits_fake, False, is_disc=True)) * 0.5
-                return loss_d, extra
-
-            (loss_d, disc_extra), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(disc_params, disc_extra)
-            d_updates, opt_d_state = opt_d.update(d_grads, opt_d_state, disc_params)
-            disc_params = optax.apply_updates(disc_params, d_updates)
+            loss_d, disc_params, disc_extra, opt_d_state = _d_step(
+                preds0, frames, disc_params, disc_extra, opt_d_state)
             metrics["dis_loss"] = loss_d
 
-        # ---- G step (uses the UPDATED discriminator) --------------------
         def g_loss_fn(p, g_extra, d_extra):
             preds, g_extra = gen_apply(p, g_extra, masked, masks, train=True)
             rec, parts = reconstruction_loss(preds, frames, k1_alpha)
@@ -158,13 +231,9 @@ def build_train_step(
             state.gen_params, state.gen_extra, disc_extra)
         g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
-
         metrics.update({
-            "loss": loss_g,
-            "rec_loss": aux["rec_loss"],
-            "adv_loss": aux["adv_loss"],
-            "pool": aux["pool"],
-            "reg": aux["reg"],
+            "loss": loss_g, "rec_loss": aux["rec_loss"],
+            "adv_loss": aux["adv_loss"], "pool": aux["pool"], "reg": aux["reg"],
         })
         new_state = state.replace(
             step=state.step + 1,
@@ -177,7 +246,8 @@ def build_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    fn = step if single_forward else step_twoforward
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def build_eval_step(gen, *, k1_alpha: float = 0.0) -> Callable:

@@ -37,6 +37,7 @@ def data_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_simple_training_runs(data_root, monkeypatch):
     monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
     cfg = _cfg(data_root, model="simple", use_gan=0)
@@ -67,6 +68,63 @@ def test_simple_gan_training_and_resume(data_root, monkeypatch):
     np.testing.assert_array_equal(np.asarray(tr.state.gen_params["enc0"]["kernel"]), p1)
 
 
+@pytest.mark.slow
+def test_single_forward_step_equivalence():
+    """The jax.vjp single-forward GAN step must match the two-forward step.
+
+    For non-Simple generators both train-mode flags hit the same forward, so
+    losses, updated params, and spectral state must agree to float tolerance.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.models import P2IDiscriminator, P2IGenerator
+    from p2igan_tpu.training.steps import TrainState, build_train_step, make_optimizer
+
+    t, hw, base = 4, 16, 16
+    gen = P2IGenerator(H=hw, W=hw, length=t, num_res=1, base_channels=base,
+                       idw_max_points=64, idw_chunk=256)
+    disc = P2IDiscriminator(in_channels=t)
+
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.random((2, t, hw, hw, 1)).astype(np.float32))
+    masks = jnp.asarray((rng.random((2, t, hw, hw, 1)) < 0.2).astype(np.float32))
+    masked = frames * masks
+
+    gen_vars = dict(gen.init(jax.random.key(0), masked, masks))
+    disc_vars = dict(disc.init(jax.random.key(1), frames))
+    opt_g, opt_d = make_optimizer({"lr": 1e-3}), make_optimizer({"lr": 1e-3})
+    gp, dp = gen_vars.pop("params"), disc_vars.pop("params")
+
+    def fresh_state():
+        return TrainState(step=jnp.zeros((), jnp.int32),
+                          gen_params=gp, gen_extra=gen_vars, opt_g=opt_g.init(gp),
+                          disc_params=dp, disc_extra=disc_vars,
+                          opt_d=opt_d.init(dp))
+
+    kw = dict(use_gan=True, gan_loss_type="hinge", adversarial_weight=0.01,
+              k1_alpha=0.05, donate=False)
+    step1 = build_train_step(gen, disc, opt_g, opt_d, single_forward=True, **kw)
+    step2 = build_train_step(gen, disc, opt_g, opt_d, single_forward=False, **kw)
+
+    s1, s2 = fresh_state(), fresh_state()
+    for _ in range(2):
+        s1, m1 = step1(s1, frames, masked, masks)
+        s2, m2 = step2(s2, frames, masked, masks)
+    for k in ("loss", "rec_loss", "adv_loss", "dis_loss"):
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-3, atol=1e-5),
+        s1.gen_params, s2.gen_params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-3, atol=1e-5),
+        s1.disc_params, s2.disc_params)
+
+
+@pytest.mark.slow
 def test_p2igan_gan_step(data_root, monkeypatch):
     monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
     cfg = _cfg(data_root, model="p2igan", use_gan=1, base=16, t=4, hw=32)

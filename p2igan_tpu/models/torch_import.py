@@ -164,6 +164,49 @@ def import_dk_generator(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
 import_stdk_generator = import_dk_generator
 
 
+def visible_topk_order(mask_flat: np.ndarray, k: int = 79) -> np.ndarray:
+    """torch's unsorted top-k index order for one flat 0/1 mask row.
+
+    The reference gathers its k visible gauge values with
+    ``torch.topk(mask, k, sorted=False)`` (dk.py:167-170, stdk.py:173-175),
+    whose tie order among the mask's 1s is implementation-defined (introselect
+    on CPU; different again on CUDA). A trained DK/STDK checkpoint is
+    therefore tied to the permutation of the device it trained on. This
+    framework uses ascending pixel index (``models/dk.py select_visible``);
+    use :func:`remap_dk_visible_columns` to convert a checkpoint whose
+    training-time order is known/reproducible.
+    """
+    import torch
+
+    _, idx = torch.topk(torch.from_numpy(np.asarray(mask_flat, np.float32)),
+                        k=k, largest=True, sorted=False)
+    return idx.numpy()
+
+
+def remap_dk_visible_columns(variables: Dict[str, Any], order: np.ndarray,
+                             n_space: int, n_time: int = 0,
+                             t_blocks: int = 1) -> Dict[str, Any]:
+    """Permute the MLP fc1 rows of the visible-value block(s) from a torch
+    top-k ``order`` to this framework's ascending-index order.
+
+    Feature layout (reference dk.py:191-194 / stdk.py:180-185):
+    ``[phi_s (n_space) | phi_t (n_time) | z (t_blocks * k)]``.
+    """
+    k = len(order)
+    asc = np.sort(order)
+    pos = {int(g): j for j, g in enumerate(order)}
+    perm = np.array([pos[int(g)] for g in asc])
+
+    out = {"params": {"mlp": dict(variables["params"]["mlp"])}}
+    fc1 = np.array(out["params"]["mlp"]["fc1"])  # (feature_dim, hidden)
+    base = n_space + n_time
+    for b in range(t_blocks):
+        off = base + b * k
+        fc1[off:off + k] = fc1[off:off + k][perm]
+    out["params"]["mlp"]["fc1"] = fc1
+    return out
+
+
 def import_simple_generator(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     imp = _Importer(state)
 

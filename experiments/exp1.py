@@ -1,233 +1,307 @@
-"""exp1 — numerical metrics over concatenated test events.
+"""exp1 — numerical evaluation over concatenated test events.
 
-Re-design of reference ``experiments/exp1.py`` in pure numpy (the reference
-uses torch for the SSIM helpers; the math is identical):
+Array-first re-implementation of the reference's metric suite
+(``/root/reference/experiments/exp1.py``). The math is formula-identical —
+protected by ``tests/test_reference_parity_exp.py`` which executes the
+reference itself — but the organization is this framework's own:
 
-* ``transform_mmhr``: clip>=0.001, /3, 10^min(x*0.0625, 38)*0.036, clip [0,200]
-* MAE / RMSE over mask-selected pixels
-* PSS: per-frame histogram-overlap score above ``min_value``
-* SSIM: *global-statistics* per-frame SSIM (means/vars over the whole frame,
-  not windowed) with optional 8x average pooling — deliberately different
-  from the online suite's gaussian-windowed SSIM, as in the reference
-* DTSSIM: lag-1/2 temporal-consistency delta of the t-SSIM series
-* NSE and categorical POD/FAR/CSI/HSS — note this file's HSS denominator
-  differs from ``metrics/metric.py``'s (reference exp1.py:170-173); each is
-  preserved in its own context
-* mask-mode selection: radar => held-out (inverted mask) pixels; gauge =>
-  gauge pixels
+* frame-wise SSIM statistics are computed for the whole (B, T) stack in one
+  vectorized pass (the reference loops frame pairs through torch scalars);
+* the contingency counts behind POD/FAR/CSI/HSS live in a small
+  ``Contingency`` value class;
+* the per-method metric schedule is data (``_SCALAR_METRICS``), not an
+  inline block.
+
+Preserved reference quirks (each documented at its site): the exp1-specific
+HSS denominator (differs from ``metrics/metric.py``), PSS value-range shared
+between pred/gt after thresholding, and the crop/align ordering (truth is
+cropped before length alignment, predictions after).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple, Union
 
 import numpy as np
 
 from .io import align_length, crop_center, ensure_thw, select_by_mask
 
+EPS_RATIO = 1e-10
+EPS_HIST = 1e-12
+THRESHOLDS_MMHR: Tuple[float, ...] = (0.5, 2.0, 4.0, 8.0)
+
+ArrayOrEvents = Union[np.ndarray, Dict[str, np.ndarray]]
+
+
+# --------------------------------------------------------------------------
+# rain-rate transform
+# --------------------------------------------------------------------------
+
+def transform_mmhr(arr: np.ndarray, divide_by_3: bool = True) -> np.ndarray:
+    """Normalized field -> mm/h (reference exp1.py:147-155): floor at 0.001,
+    optional /3, 10^min(x*0.0625, 38) * 0.036, clipped to [0, 200]."""
+    x = np.maximum(np.asarray(arr, np.float64), 0.001)
+    if divide_by_3:
+        x = x / 3.0
+    rate = 0.036 * np.power(10.0, np.minimum(x * 0.0625, 38.0))
+    return np.clip(rate, 0.0, 200.0)
+
+
+# --------------------------------------------------------------------------
+# scalar error scores
+# --------------------------------------------------------------------------
 
 def mae(pred: np.ndarray, gt: np.ndarray) -> float:
-    return float(np.mean(np.abs(pred - gt)))
+    return float(np.abs(pred - gt).mean())
 
 
 def rmse(pred: np.ndarray, gt: np.ndarray) -> float:
-    return float(np.sqrt(np.mean((pred - gt) ** 2)))
+    return float(np.sqrt(((pred - gt) ** 2).mean()))
 
 
-def pss(pred: np.ndarray, gt: np.ndarray, bins: int = 50, min_value: float = 0.5,
+def nse(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Nash–Sutcliffe efficiency with the reference's 1e-10 guard."""
+    resid = ((pred - gt) ** 2).sum()
+    spread = ((gt - gt.mean()) ** 2).sum()
+    return float(1.0 - resid / (spread + EPS_RATIO))
+
+
+# --------------------------------------------------------------------------
+# PSS — per-frame histogram overlap (Perkins skill score)
+# --------------------------------------------------------------------------
+
+def _finite_above(v: np.ndarray, floor: Optional[float]) -> np.ndarray:
+    v = v[np.isfinite(v)]
+    return v if floor is None else v[v > floor]
+
+
+def pss(pred: np.ndarray, gt: np.ndarray, bins: int = 50,
+        min_value: float = 0.5,
         value_range: Optional[Tuple[float, float]] = None) -> float:
-    """Per-frame histogram-overlap (Perkins) skill score, averaged over frames."""
-    pred = np.asarray(pred, dtype=np.float32)
-    gt = np.asarray(gt, dtype=np.float32)
+    """Mean over frames of the overlap between pred/gt value histograms.
+
+    The histogram range is shared across frames and methods of one call:
+    derived from the union of both arrays after the ``min_value`` threshold
+    (reference exp1.py:29-41).
+    """
+    pred = np.asarray(pred, np.float32)
+    gt = np.asarray(gt, np.float32)
     if pred.size == 0 or gt.size == 0:
         return float("nan")
 
     if value_range is None:
-        both = np.concatenate([pred.ravel(), gt.ravel()])
-        both = both[np.isfinite(both)]
-        if min_value is not None:
-            both = both[both > min_value]
-        if both.size == 0:
+        pool = _finite_above(np.concatenate([pred.ravel(), gt.ravel()]), min_value)
+        if pool.size == 0:
             return float("nan")
-        vmin, vmax = float(both.min()), float(both.max())
-        if vmin == vmax:
-            vmax = vmin + 1e-6
-        value_range = (vmin, vmax)
+        lo, hi = float(pool.min()), float(pool.max())
+        value_range = (lo, hi + 1e-6 if lo == hi else hi)
 
-    scores = []
-    for i in range(pred.shape[0]):
-        p = pred[i].ravel()
-        g = gt[i].ravel()
-        p = p[np.isfinite(p)]
-        g = g[np.isfinite(g)]
-        if min_value is not None:
-            p = p[p > min_value]
-            g = g[g > min_value]
+    overlaps = []
+    for p_frame, g_frame in zip(pred, gt):
+        p = _finite_above(p_frame.ravel(), min_value)
+        g = _finite_above(g_frame.ravel(), min_value)
         if p.size == 0 or g.size == 0:
             continue
-        p_hist, _ = np.histogram(p, bins=bins, range=value_range)
-        g_hist, _ = np.histogram(g, bins=bins, range=value_range)
-        p_freq = p_hist / (p_hist.sum() + 1e-12)
-        g_freq = g_hist / (g_hist.sum() + 1e-12)
-        scores.append(float(np.minimum(p_freq, g_freq).sum()))
-    return float(np.mean(scores)) if scores else float("nan")
+        hp = np.histogram(p, bins=bins, range=value_range)[0]
+        hg = np.histogram(g, bins=bins, range=value_range)[0]
+        fp = hp / (hp.sum() + EPS_HIST)
+        fg = hg / (hg.sum() + EPS_HIST)
+        overlaps.append(float(np.minimum(fp, fg).sum()))
+    return float(np.mean(overlaps)) if overlaps else float("nan")
+
+
+# --------------------------------------------------------------------------
+# global-statistics SSIM, vectorized over the frame stack
+# --------------------------------------------------------------------------
+
+def _as_stack(x: np.ndarray) -> np.ndarray:
+    """(T,H,W) or (B,T,H,W) -> (B,T,H,W) float array."""
+    x = np.asarray(x, np.float32)
+    return x[None] if x.ndim == 3 else x
+
+
+def _block_mean8(x: np.ndarray) -> np.ndarray:
+    """8x8 average pooling of (B,T,H,W) (== the reference's avg_pool2d)."""
+    b, t, h, w = x.shape
+    hb, wb = h // 8, w // 8
+    x = x[:, :, :hb * 8, :wb * 8].reshape(b, t, hb, 8, wb, 8)
+    return x.mean(axis=(3, 5))
 
 
 def ssim2d(a: np.ndarray, b: np.ndarray, c1: float = 0.01 ** 2,
            c2: float = 0.03 ** 2) -> float:
-    """Global-statistics SSIM over one frame (reference exp1.py:66-74)."""
+    """Single-frame global-statistics SSIM (kept for exp2/exp3 callers)."""
+    return float(_ssim_stack(np.asarray(a, np.float64)[None, None],
+                             np.asarray(b, np.float64)[None, None],
+                             c1, c2)[0, 0])
+
+def _ssim_stack(a: np.ndarray, b: np.ndarray, c1: float = 0.01 ** 2,
+                c2: float = 0.03 ** 2) -> np.ndarray:
+    """Global-statistics SSIM of every frame pair at once: (B,T,H,W) x2 ->
+    (B,T). Whole-frame means/variances, NOT the windowed SSIM of the online
+    metric suite (reference exp1.py:66-74 keeps both variants distinct)."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
-    mu_a, mu_b = a.mean(), b.mean()
-    sig_a = ((a - mu_a) ** 2).mean()
-    sig_b = ((b - mu_b) ** 2).mean()
-    sig_ab = ((a - mu_a) * (b - mu_b)).mean()
-    num = (2 * mu_a * mu_b + c1) * (2 * sig_ab + c2)
-    den = (mu_a ** 2 + mu_b ** 2 + c1) * (sig_a + sig_b + c2)
-    return float(num / (den + 1e-10))
-
-
-def _ensure_bt(x: np.ndarray) -> np.ndarray:
-    """(T,H,W) -> (1,T,H,W); (B,T,H,W) stays."""
-    x = np.asarray(x, np.float32)
-    if x.ndim == 3:
-        x = x[None]
-    return x
-
-
-def _pool8(x: np.ndarray) -> np.ndarray:
-    """8x8 average pooling on (B,T,H,W) (reference _pool8, exp1.py:89-92)."""
-    b, t, h, w = x.shape
-    h8, w8 = h // 8, w // 8
-    x = x[:, :, :h8 * 8, :w8 * 8]
-    return x.reshape(b, t, h8, 8, w8, 8).mean(axis=(3, 5))
+    ax = (-2, -1)
+    mu_a, mu_b = a.mean(ax), b.mean(ax)
+    da = a - mu_a[..., None, None]
+    db = b - mu_b[..., None, None]
+    var_a, var_b = (da ** 2).mean(ax), (db ** 2).mean(ax)
+    cov = (da * db).mean(ax)
+    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+    den = (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2)
+    return num / (den + EPS_RATIO)
 
 
 def ssim_spatial(pred: np.ndarray, gt: np.ndarray, use_pool8: bool = True) -> float:
-    pred = _ensure_bt(pred)
-    gt = _ensure_bt(gt)
+    pred, gt = _as_stack(pred), _as_stack(gt)
     if use_pool8:
-        pred = _pool8(pred)
-        gt = _pool8(gt)
-    vals = [ssim2d(pred[b, t], gt[b, t])
-            for b in range(pred.shape[0]) for t in range(pred.shape[1])]
-    return float(np.mean(vals))
-
-
-def _tssim_series(x: np.ndarray, lag: int) -> np.ndarray:
-    """(B, T) series of SSIM(frame_t, frame_{t-lag}) -> (B, T-lag)."""
-    vals = [[ssim2d(x[b, t], x[b, t - lag]) for t in range(lag, x.shape[1])]
-            for b in range(x.shape[0])]
-    return np.asarray(vals)
+        pred, gt = _block_mean8(pred), _block_mean8(gt)
+    return float(_ssim_stack(pred, gt).mean())
 
 
 def delta_tssim(pred: np.ndarray, gt: np.ndarray, lag: int = 1,
                 use_pool8: bool = True) -> float:
-    pred = _ensure_bt(pred)
-    gt = _ensure_bt(gt)
+    """Temporal-consistency delta: SSIM(frame_t, frame_{t-lag}) series of the
+    prediction minus the same series of the truth, averaged."""
+    pred, gt = _as_stack(pred), _as_stack(gt)
     if pred.shape[1] <= lag:
         return float("nan")
     if use_pool8:
-        pred = _pool8(pred)
-        gt = _pool8(gt)
-    return float((_tssim_series(pred, lag) - _tssim_series(gt, lag)).mean())
+        pred, gt = _block_mean8(pred), _block_mean8(gt)
+    series = lambda x: _ssim_stack(x[:, lag:], x[:, :-lag])  # noqa: E731
+    return float((series(pred) - series(gt)).mean())
 
 
-def nse(pred: np.ndarray, gt: np.ndarray) -> float:
-    num = np.sum((pred - gt) ** 2)
-    den = np.sum((gt - np.mean(gt)) ** 2)
-    return float(1.0 - num / (den + 1e-10))
+# --------------------------------------------------------------------------
+# categorical scores from a 2x2 contingency table
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Contingency:
+    hits: float
+    misses: float
+    false_alarms: float
+    correct_negatives: float
+
+    @classmethod
+    def at_threshold(cls, pred: np.ndarray, gt: np.ndarray,
+                     threshold: float) -> "Contingency":
+        p = pred >= threshold
+        g = gt >= threshold
+        return cls(hits=float((p & g).sum()),
+                   misses=float((~p & g).sum()),
+                   false_alarms=float((p & ~g).sum()),
+                   correct_negatives=float((~p & ~g).sum()))
+
+    @property
+    def pod(self) -> float:
+        return self.hits / (self.hits + self.misses + EPS_RATIO)
+
+    @property
+    def far(self) -> float:
+        return self.false_alarms / (self.hits + self.false_alarms + EPS_RATIO)
+
+    @property
+    def csi(self) -> float:
+        return self.hits / (self.hits + self.misses + self.false_alarms + EPS_RATIO)
+
+    @property
+    def hss(self) -> float:
+        # exp1-specific denominator, preserved verbatim from reference
+        # exp1.py:170-173 — it intentionally differs from metric.py's HSS
+        h, m, f, c = (self.hits, self.misses, self.false_alarms,
+                      self.correct_negatives)
+        if h + m + f + c <= 0:
+            return float("nan")
+        den = m ** 2 + f ** 2 + 2 * h * c + (m + f) * (h + c) + EPS_RATIO
+        return 2 * (h * c - m * f) / den
 
 
-def transform_mmhr(arr: np.ndarray, divide_by_3: bool = True) -> np.ndarray:
-    """Offline rain-rate transform (reference exp1.py:147-155)."""
-    arr = np.asarray(arr, dtype=np.float64)
-    arr = np.maximum(arr, 0.001)
-    if divide_by_3:
-        arr = arr / 3.0
-    exp = np.clip(arr * 0.0625, a_min=None, a_max=38.0)
-    out = 10 ** exp * 0.036
-    return np.clip(out, 0.0, 200.0)
+def categorical_metrics(pred: np.ndarray, gt: np.ndarray,
+                        threshold: float) -> Dict[str, float]:
+    tab = Contingency.at_threshold(pred, gt, threshold)
+    return {"POD": tab.pod, "FAR": tab.far, "CSI": tab.csi, "HSS": tab.hss}
 
 
-def categorical_metrics(pred: np.ndarray, gt: np.ndarray, threshold: float) -> Dict[str, float]:
-    pred_bin = pred >= threshold
-    gt_bin = gt >= threshold
-    hits = np.logical_and(pred_bin, gt_bin).sum()
-    misses = np.logical_and(~pred_bin, gt_bin).sum()
-    false_alarms = np.logical_and(pred_bin, ~gt_bin).sum()
-    correct = np.logical_and(~pred_bin, ~gt_bin).sum()
-    pod = hits / (hits + misses + 1e-10)
-    far = false_alarms / (hits + false_alarms + 1e-10)
-    csi = hits / (hits + misses + false_alarms + 1e-10)
-    n_total = hits + misses + false_alarms + correct
-    if n_total > 0:
-        # NOTE: this exp1-specific HSS denominator is preserved verbatim from
-        # the reference (exp1.py:170-173); it differs from metric.py's HSS.
-        hss = 2 * (hits * correct - misses * false_alarms) / (
-            misses ** 2 + false_alarms ** 2 + 2 * hits * correct
-            + (misses + false_alarms) * (hits + correct) + 1e-10)
-    else:
-        hss = float("nan")
-    return {"POD": float(pod), "FAR": float(far), "CSI": float(csi), "HSS": float(hss)}
-
+# --------------------------------------------------------------------------
+# evaluation-pixel selection and event concatenation
+# --------------------------------------------------------------------------
 
 def apply_mask_mode(pred: np.ndarray, gt: np.ndarray, mask: np.ndarray,
                     mode: str) -> Dict[str, np.ndarray]:
-    if mode == "radar":
-        return {"pred": select_by_mask(pred, mask, invert=True),
-                "gt": select_by_mask(gt, mask, invert=True)}
-    if mode == "gauge":
-        return {"pred": select_by_mask(pred, mask, invert=False),
-                "gt": select_by_mask(gt, mask, invert=False)}
-    raise ValueError(f"Unknown mode: {mode}")
+    """radar => score the *held-out* (mask==0) pixels; gauge => score the
+    gauge (mask==1) pixels (reference exp1.py:179-188)."""
+    if mode not in ("radar", "gauge"):
+        raise ValueError(f"Unknown mode: {mode}")
+    invert = mode == "radar"
+    return {"pred": select_by_mask(pred, mask, invert=invert),
+            "gt": select_by_mask(gt, mask, invert=invert)}
 
 
-def run_exp1(preds: Dict[str, Union[np.ndarray, Dict[str, np.ndarray]]],
-             truth: Union[np.ndarray, Dict[str, np.ndarray]],
+def _concat_events(events: Dict[str, np.ndarray], keys) -> np.ndarray:
+    chunks = [ensure_thw(events[k]) for k in keys if events.get(k) is not None]
+    return np.concatenate(chunks, axis=0) if chunks else np.empty((0,))
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+_SCALAR_METRICS = (
+    ("MAE", mae),
+    ("RMSE", rmse),
+    ("PSS", pss),
+    ("NSE", nse),
+)
+
+
+def run_exp1(preds: Dict[str, ArrayOrEvents],
+             truth: ArrayOrEvents,
              mask: np.ndarray,
              mode: str,
              crop_size: int,
-             thresholds: Tuple[float, ...] = (0.5, 2.0, 4.0, 8.0),
+             thresholds: Tuple[float, ...] = THRESHOLDS_MMHR,
              use_pool8: bool = True,
              divide_by_3: bool = True) -> Dict[str, Dict[str, float]]:
-    """Per-method metrics over concatenated events (reference exp1.py:191-242)."""
+    """Score every method against the truth over all concatenated events.
+
+    Selected-pixel scores (MAE/RMSE/PSS/NSE/categorical) use the mask-mode
+    pixels; SSIM/DTSSIM use the full cropped frames. Truth is transformed +
+    cropped once; each prediction is transformed, length-aligned against the
+    cropped truth, then cropped (reference exp1.py:191-242 ordering).
+    """
     if isinstance(truth, dict):
-        event_keys = list(truth.keys())
-        if not event_keys:
+        keys = list(truth.keys())
+        if not keys:
             return {}
-        truth_list = [truth[k] for k in event_keys if truth.get(k) is not None]
-        truth = np.concatenate([ensure_thw(t) for t in truth_list], axis=0) \
-            if truth_list else np.empty((0,))
-        preds_concat: Dict[str, np.ndarray] = {}
-        for name, src in preds.items():
-            if not isinstance(src, dict):
-                continue
-            lst = [ensure_thw(src[k]) for k in event_keys if src.get(k) is not None]
-            preds_concat[name] = np.concatenate(lst, axis=0) if lst else np.empty((0,))
-        preds = preds_concat
+        per_method = {name: _concat_events(src, keys)
+                      for name, src in preds.items() if isinstance(src, dict)}
+        truth = _concat_events({k: ensure_thw(v) for k, v in truth.items()
+                                if v is not None}, keys)
+        preds = per_method
 
-    results: Dict[str, Dict[str, float]] = {}
-    truth = transform_mmhr(truth, divide_by_3=divide_by_3)
-    truth = crop_center(truth, crop_size)
+    truth = crop_center(transform_mmhr(truth, divide_by_3=divide_by_3), crop_size)
 
-    for name, pred in preds.items():
-        pred = transform_mmhr(pred, divide_by_3=divide_by_3)
-        pred, truth_aligned = align_length(pred, truth)
+    report: Dict[str, Dict[str, float]] = {}
+    for name, raw in preds.items():
+        pred = transform_mmhr(raw, divide_by_3=divide_by_3)
+        pred, truth_t = align_length(pred, truth)
         pred = crop_center(pred, crop_size)
-        sel = apply_mask_mode(pred, truth_aligned, mask, mode)
-        pred_sel, gt_sel = sel["pred"], sel["gt"]
+        sel = apply_mask_mode(pred, truth_t, mask, mode)
 
-        results[name] = {
-            "MAE": mae(pred_sel, gt_sel),
-            "RMSE": rmse(pred_sel, gt_sel),
-            "PSS": pss(pred_sel, gt_sel),
-            "SSIM": ssim_spatial(pred, truth_aligned, use_pool8=use_pool8),
-            "DTSSIM_L1": delta_tssim(pred, truth_aligned, lag=1, use_pool8=use_pool8),
-            "DTSSIM_L2": delta_tssim(pred, truth_aligned, lag=2, use_pool8=use_pool8),
-            "NSE": nse(pred_sel, gt_sel),
-        }
+        row: Dict[str, float] = {k: fn(sel["pred"], sel["gt"])
+                                 for k, fn in _SCALAR_METRICS}
+        row["SSIM"] = ssim_spatial(pred, truth_t, use_pool8=use_pool8)
+        row["DTSSIM_L1"] = delta_tssim(pred, truth_t, lag=1, use_pool8=use_pool8)
+        row["DTSSIM_L2"] = delta_tssim(pred, truth_t, lag=2, use_pool8=use_pool8)
         for thr in thresholds:
-            results[name][f"CAT_{thr:g}"] = categorical_metrics(pred_sel, gt_sel, thr)
+            row[f"CAT_{thr:g}"] = categorical_metrics(sel["pred"], sel["gt"], thr)
+        # reference result ordering: MAE, RMSE, PSS, SSIM, DTSSIMs, NSE, CATs
+        report[name] = {k: row[k] for k in
+                        ("MAE", "RMSE", "PSS", "SSIM", "DTSSIM_L1",
+                         "DTSSIM_L2", "NSE")} | {
+                        f"CAT_{t:g}": row[f"CAT_{t:g}"] for t in thresholds}
 
-    return results
+    return report

@@ -49,6 +49,13 @@ def crop_center(arr: np.ndarray, size: int) -> np.ndarray:
     return arr[:, y0:y0 + size, x0:x0 + size]
 
 
+def center_square(plane: np.ndarray, size: int) -> np.ndarray:
+    """Center-crop a 2D (H, W) plane (gauge masks) to (size, size)."""
+    h, w = plane.shape
+    y0, x0 = (h - size) // 2, (w - size) // 2
+    return plane[y0:y0 + size, x0:x0 + size]
+
+
 def load_mask(path: str) -> np.ndarray:
     """Whitespace txt gauge mask -> (H, W) bool."""
     return np.loadtxt(path).astype(bool)

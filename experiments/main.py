@@ -1,109 +1,161 @@
-"""Experiment dispatcher: ``python -m experiments.main`` (reference main.py).
+"""Experiment-suite entry point: ``python -m experiments.main``.
 
-Loads observation/truth/prediction zarr stores and gauge masks, then runs the
-enabled experiments (exp1 metrics, exp2 GIFs/PDF panels, exp3 NSE analysis).
+Stage-pipeline re-organization of the reference dispatcher
+(``/root/reference/experiments/main.py:19-130``): the loaded inputs travel in
+an ``EvalContext``, each experiment is a stage function, and a declarative
+``_STAGES`` table decides what runs. Outputs (directories, file names, and
+the arguments fed to ``run_exp1/2/3``) are identical to the reference's.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+from dataclasses import dataclass
+from typing import Callable, Dict, Iterable, List, Tuple
 
-from .config import build_config, get_mode_config
+import numpy as np
+
+from .config import ExperimentConfig, ModeConfig, build_config, get_mode_config
 from .exp1 import run_exp1
 from .exp2 import run_exp2, run_exp2_paper_zarr
 from .exp3 import run_exp3
-from .io import ensure_dir, load_mask, load_zarr_array, save_config_snapshot, \
-    save_json, save_text
+from .io import (center_square, ensure_dir, load_mask, load_zarr_array,
+                 save_config_snapshot, save_json, save_text)
 
 
-def _crop_mask(mask, size):
-    h, w = mask.shape
-    top = (h - size) // 2
-    left = (w - size) // 2
-    return mask[top:top + size, left:left + size]
+@dataclass
+class EvalContext:
+    cfg: ExperimentConfig
+    mode_cfg: ModeConfig
+    results_root: str
+    truth: Dict[str, np.ndarray]
+    preds: Dict[str, Dict[str, np.ndarray]]
+    mask_train: np.ndarray
+    mask_test: np.ndarray
+
+    @property
+    def eval_mask(self) -> np.ndarray:
+        """radar mode scores held-out radar pixels (train mask); gauge mode
+        scores the test gauges."""
+        return self.mask_train if self.cfg.mode == "radar" else self.mask_test
+
+    def out_dir(self, stage: str) -> str:
+        path = os.path.join(self.results_root, stage)
+        ensure_dir(path)
+        return path
 
 
-def _metrics_lines(metrics):
-    lines = []
-    for name, vals in metrics.items():
-        lines.append(f"[{name}]")
-        for k, v in vals.items():
-            if isinstance(v, dict):
-                lines.append(f"{k}:")
-                for sk, sv in v.items():
-                    lines.append(f"  {sk}: {sv:.6f}")
-            else:
-                lines.append(f"{k}: {v:.6f}")
+def _format_report(tree, indent: str = "") -> List[str]:
+    """Nested metric dict -> indented text lines (6-decimal scalars)."""
+    lines: List[str] = []
+    for key, val in tree.items():
+        if isinstance(val, dict):
+            lines.append(f"{indent}{key}:")
+            lines.extend(_format_report(val, indent + "  "))
+        else:
+            lines.append(f"{indent}{key}: {val:.6f}")
+    return lines
+
+
+def _method_sections(metrics: Dict[str, Dict]) -> List[str]:
+    lines: List[str] = []
+    for method, vals in metrics.items():
+        lines.append(f"[{method}]")
+        lines.extend(_format_report(vals))
         lines.append("")
     return lines
 
 
-def main(config_path=None, data_root=None) -> None:
-    cfg = build_config(config_path=config_path, data_root=data_root)
-    mode_cfg = get_mode_config(cfg)
+def stage_exp1(ctx: EvalContext) -> None:
+    out = ctx.out_dir("exp1")
+    report = run_exp1(ctx.preds, ctx.truth, ctx.eval_mask, ctx.cfg.mode,
+                      ctx.cfg.crop_size, use_pool8=ctx.cfg.exp1_pool8,
+                      divide_by_3=True)
+    save_json(os.path.join(out, "metrics.json"), report)
+    save_text(os.path.join(out, "metrics.txt"), _method_sections(report))
 
+
+def stage_exp2_gif(ctx: EvalContext) -> None:
+    run_exp2(preds=ctx.mode_cfg.methods, truth=ctx.mode_cfg.truth_path,
+             observation=ctx.mode_cfg.observation_path,
+             mask_train=ctx.mask_train, out_dir=ctx.out_dir("exp2_gif"),
+             crop_size=ctx.cfg.crop_size, frames=None,
+             vmin=ctx.cfg.visualization_vmin, vmax=ctx.cfg.visualization_vmax,
+             gif_fps=ctx.cfg.gif_fps, divide_by_3=True, mode=ctx.cfg.mode)
+
+
+def stage_exp2_pdf(ctx: EvalContext) -> None:
+    cfg, mode_cfg = ctx.cfg, ctx.mode_cfg
+    run_exp2_paper_zarr(
+        observation_path=mode_cfg.observation_path,
+        methods=mode_cfg.methods,
+        events=cfg.exp2_paper_events,
+        mask_path=cfg.exp2_paper_mask_path or mode_cfg.mask_train_path,
+        crop_size=cfg.crop_size,
+        out_dir=ctx.out_dir("exp2_pdf"),
+        output_pdf=cfg.exp2_paper_output_pdf,
+        method_order=("RadarMasked", "Nimrod", *mode_cfg.methods.keys()),
+        crop_pdf=False,
+        crop_output=cfg.exp2_paper_crop_output,
+    )
+
+
+def stage_exp3(ctx: EvalContext) -> None:
+    out = ctx.out_dir("exp3")
+    report = run_exp3(ctx.preds, ctx.truth, ctx.eval_mask, ctx.cfg.mode,
+                      ctx.cfg.crop_size, out)
+    save_json(os.path.join(out, "metrics.json"), report)
+    save_text(os.path.join(out, "metrics.txt"), _format_report(report))
+
+
+_STAGES: Tuple[Tuple[str, Callable[[EvalContext], None]], ...] = (
+    ("run_exp1", stage_exp1),
+    ("run_exp2_gif", stage_exp2_gif),
+    ("run_exp2_pdf", stage_exp2_pdf),
+    ("run_exp3", stage_exp3),
+)
+
+
+def _load_context(cfg: ExperimentConfig) -> EvalContext:
+    mode_cfg = get_mode_config(cfg)
     results_root = os.path.join(cfg.save_dir, cfg.experiment_name)
     ensure_dir(results_root)
     save_config_snapshot(os.path.join(results_root, "config.json"), cfg)
 
-    observation = load_zarr_array(mode_cfg.observation_path)
-    truth = load_zarr_array(mode_cfg.truth_path, return_events=True)
-    preds = {name: load_zarr_array(path, return_events=True)
-             for name, path in mode_cfg.methods.items()}
+    # observation is loaded for parity with the reference flow (its
+    # dispatcher loads it unconditionally) even though only exp2 reads the
+    # path directly
+    load_zarr_array(mode_cfg.observation_path)
+    return EvalContext(
+        cfg=cfg,
+        mode_cfg=mode_cfg,
+        results_root=results_root,
+        truth=load_zarr_array(mode_cfg.truth_path, return_events=True),
+        preds={name: load_zarr_array(path, return_events=True)
+               for name, path in mode_cfg.methods.items()},
+        mask_train=center_square(load_mask(mode_cfg.mask_train_path),
+                                 cfg.crop_size),
+        mask_test=center_square(load_mask(mode_cfg.mask_test_path),
+                                cfg.crop_size),
+    )
 
-    mask_train = _crop_mask(load_mask(mode_cfg.mask_train_path), cfg.crop_size)
-    mask_test = _crop_mask(load_mask(mode_cfg.mask_test_path), cfg.crop_size)
 
-    if cfg.run_exp1:
-        exp1_dir = os.path.join(results_root, "exp1")
-        ensure_dir(exp1_dir)
-        mask_for_mode = mask_train if cfg.mode == "radar" else mask_test
-        metrics = run_exp1(preds, truth, mask_for_mode, cfg.mode, cfg.crop_size,
-                           use_pool8=cfg.exp1_pool8, divide_by_3=True)
-        save_json(os.path.join(exp1_dir, "metrics.json"), metrics)
-        save_text(os.path.join(exp1_dir, "metrics.txt"), _metrics_lines(metrics))
+def run_stages(cfg: ExperimentConfig,
+               stages: Iterable[Tuple[str, Callable]] = _STAGES) -> None:
+    ctx = _load_context(cfg)
+    for flag, stage in stages:
+        if getattr(cfg, flag, False):
+            stage(ctx)
 
-    if cfg.run_exp2_gif:
-        exp2_gif_dir = os.path.join(results_root, "exp2_gif")
-        ensure_dir(exp2_gif_dir)
-        run_exp2(preds=mode_cfg.methods, truth=mode_cfg.truth_path,
-                 observation=mode_cfg.observation_path, mask_train=mask_train,
-                 out_dir=exp2_gif_dir, crop_size=cfg.crop_size, frames=None,
-                 vmin=cfg.visualization_vmin, vmax=cfg.visualization_vmax,
-                 gif_fps=cfg.gif_fps, divide_by_3=True, mode=cfg.mode)
 
-    if cfg.run_exp2_pdf:
-        exp2_pdf_dir = os.path.join(results_root, "exp2_pdf")
-        ensure_dir(exp2_pdf_dir)
-        mask_path = cfg.exp2_paper_mask_path or mode_cfg.mask_train_path
-        run_exp2_paper_zarr(
-            observation_path=mode_cfg.observation_path,
-            methods=mode_cfg.methods,
-            events=cfg.exp2_paper_events,
-            mask_path=mask_path,
-            crop_size=cfg.crop_size,
-            out_dir=exp2_pdf_dir,
-            output_pdf=cfg.exp2_paper_output_pdf,
-            method_order=("RadarMasked", "Nimrod", *mode_cfg.methods.keys()),
-            crop_pdf=False,
-            crop_output=cfg.exp2_paper_crop_output,
-        )
-
-    if cfg.run_exp3:
-        exp3_dir = os.path.join(results_root, "exp3")
-        ensure_dir(exp3_dir)
-        mask_for_mode = mask_train if cfg.mode == "radar" else mask_test
-        metrics = run_exp3(preds, truth, mask_for_mode, cfg.mode, cfg.crop_size,
-                           exp3_dir)
-        save_json(os.path.join(exp3_dir, "metrics.json"), metrics)
-        save_text(os.path.join(exp3_dir, "metrics.txt"),
-                  [f"{k}: {v:.6f}" for k, v in metrics.items()])
+def main(config_path=None, data_root=None) -> None:
+    run_stages(build_config(config_path=config_path, data_root=data_root))
 
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="P2I-GAN benchmark experiments")
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--data-root", type=str, default=None)
-    args = parser.parse_args()
-    main(config_path=args.config, data_root=args.data_root)
+    cli = parser.parse_args()
+    main(config_path=cli.config, data_root=cli.data_root)

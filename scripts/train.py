@@ -52,6 +52,8 @@ def main(args: Optional[argparse.Namespace] = None) -> None:
     if parsed.run_test is not None:
         train_cfg["use_test"] = bool(parsed.run_test)
 
+    if parsed.resume is not None and not parsed.resume.exists():
+        raise SystemExit(f"--resume checkpoint not found: {parsed.resume}")
     trainer = Trainer(config)
     if parsed.resume is not None:
         trainer.load(parsed.resume)

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 from p2igan_tpu.models import (
@@ -39,6 +40,7 @@ def test_simple_generator_discriminator(rng):
     assert logits.shape == (2, 1)
 
 
+@pytest.mark.slow
 def test_p2igan_generator_shapes(rng):
     masked, mask = _batch(rng, t=4, h=16, w=16)
     gen = P2IGenerator(H=16, W=16, length=4, num_res=1, base_channels=16,
@@ -57,6 +59,7 @@ def test_p2igan_generator_shapes(rng):
     assert any(float(jnp.max(jnp.abs(x))) > 0 for x in flat)
 
 
+@pytest.mark.slow
 def test_p2igan_discriminator(rng):
     masked, mask = _batch(rng, t=4, h=16, w=16)
     disc = P2IDiscriminator(in_channels=4)

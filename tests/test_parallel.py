@@ -22,6 +22,7 @@ def test_pad_to_multiple():
     np.testing.assert_array_equal(padded[5:], np.broadcast_to(x[-1], (3, 2)))
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(rng):
     """Data-parallel GAN step over 8 devices == single-device step."""
     from p2igan_tpu.models import P2IDiscriminator, P2IGenerator
@@ -72,7 +73,7 @@ def test_metric_state_psum_reduction(rng):
     """Sharded metric accumulators reduce with psum to the global counts
     (activating the reference's dormant dist_reduce_fx semantics)."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from p2igan_tpu.metrics import metric as M
 
@@ -100,6 +101,7 @@ def test_metric_state_psum_reduction(rng):
                                    rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_window_sharded_inference_matches_single_device(rng):
     """Window-parallel (CP-analogue) reconstruction == sequential result."""
     from p2igan_tpu.inference.driver import SlidingWindowReconstructor
@@ -119,6 +121,7 @@ def test_window_sharded_inference_matches_single_device(rng):
     np.testing.assert_allclose(ref, out, atol=2e-3, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from p2igan_tpu.models import (DKGenerator, P2IDiscriminator, P2IGenerator,
@@ -48,6 +49,7 @@ def _synthetic_p2igan_state(t=4, base=16, h=16, w=16, num_res=1, depth=2):
     return {k: v.numpy() for k, v in sd.items()}
 
 
+@pytest.mark.slow
 def test_p2igan_import_structure_and_forward(rng):
     t, base, hw = 4, 16, 16
     state = _synthetic_p2igan_state(t=t, base=base, h=hw, w=hw, num_res=1)
@@ -134,6 +136,7 @@ def test_dk_import_value_parity(rng):
     np.testing.assert_allclose(ref.reshape(out.shape), out, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_simple_import_roundtrip(rng):
     gen = SimpleGenerator(base_channels=4)
     masked = jnp.asarray(rng.random((1, 4, 16, 16, 1)).astype(np.float32))

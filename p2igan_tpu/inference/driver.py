@@ -56,6 +56,14 @@ class SlidingWindowReconstructor:
         self.t_bucket = t_bucket
         self._compiled: Dict[int, Callable] = {}
 
+    def _supports_prepared_idw(self) -> bool:
+        """True when the generator's IDW gauge selection is a constant of the
+        event mask (factored shared-mask path) and can be hoisted out of the
+        per-window-chunk scan (VERDICT r1 item 6)."""
+        gen = self.generator
+        return bool(getattr(gen, "idw_factored", False)
+                    and getattr(gen, "idw_shared_batch_mask", False))
+
     def _build(self, T: int) -> Callable:
         stride, step, wb = self.stride, self.step, self.window_batch
         starts = np.arange(0, T, step, dtype=np.int32)
@@ -75,17 +83,26 @@ class SlidingWindowReconstructor:
         variables = self.variables
         gen = self.generator
         scale = self.output_scale
+        use_prep = self._supports_prepared_idw()
 
         @jax.jit
         def reconstruct(masked: jax.Array, masks: jax.Array) -> jax.Array:
             H, W, C = masked.shape[1:]
+            # stis masks are one spatial pattern for the whole event: the
+            # mask-derived gauge selection runs ONCE here, not inside every
+            # scan step (XLA cannot hoist it through the windowed gather)
+            prep = gen.prepare_idw(masks[0, :, :, 0]) if use_prep else None
 
             def chunk(carry, inp):
                 accum, count = carry
                 idx, seg = inp  # (wb, stride), (wb, stride)
                 wm = masked[idx]    # (wb, stride, H, W, C)
                 wk = masks[idx]
-                preds = gen.apply(variables, wm, wk).astype(jnp.float32)
+                if use_prep:
+                    preds = gen.apply(variables, wm, wk, idw_prepared=prep)
+                else:
+                    preds = gen.apply(variables, wm, wk)
+                preds = preds.astype(jnp.float32)
                 flat_seg = seg.reshape(-1)
                 flat_pred = preds.reshape(-1, H, W, C)
                 accum = accum.at[flat_seg].add(flat_pred)
@@ -102,6 +119,24 @@ class SlidingWindowReconstructor:
             return jnp.clip(comp, 0.0, None)
 
         return reconstruct
+
+    def compiled_fn(self, T: int) -> Callable:
+        """Public warm-up/serving API: the compiled single-event program for
+        bucketed length ``T`` ((T,H,W,C) in, (T,H,W,C) out, device-resident)."""
+        fn = self._compiled.get(T)
+        if fn is None:
+            fn = self._build(T)
+            self._compiled[T] = fn
+        return fn
+
+    def compiled_batch_fn(self, T: int) -> Callable:
+        """Compiled equal-length batched-events program ((E,T,H,W,C) io)."""
+        key = ("batch", T)
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = jax.jit(jax.vmap(self._build(T)))
+            self._compiled[key] = fn
+        return fn
 
     def _build_sharded(self, T: int, mesh) -> Callable:
         """Window-parallel reconstruction: an event's windows sharded over the
@@ -125,13 +160,19 @@ class SlidingWindowReconstructor:
         gen = self.generator
         scale = self.output_scale
         shard = NamedSharding(mesh, P("data"))
+        use_prep = self._supports_prepared_idw()
 
         @jax.jit
         def reconstruct(masked: jax.Array, masks: jax.Array) -> jax.Array:
             H, W, C = masked.shape[1:]
+            prep = gen.prepare_idw(masks[0, :, :, 0]) if use_prep else None
             wm = jax.lax.with_sharding_constraint(masked[jnp.asarray(win_idx)], shard)
             wk = jax.lax.with_sharding_constraint(masks[jnp.asarray(win_idx)], shard)
-            preds = gen.apply(variables, wm, wk).astype(jnp.float32)
+            if use_prep:
+                preds = gen.apply(variables, wm, wk, idw_prepared=prep)
+            else:
+                preds = gen.apply(variables, wm, wk)
+            preds = preds.astype(jnp.float32)
             flat_seg = jnp.asarray(tgt).reshape(-1)
             accum = jnp.zeros((T + 1, H, W, C), jnp.float32)
             accum = accum.at[flat_seg].add(preds.reshape(-1, H, W, C))
@@ -173,11 +214,7 @@ class SlidingWindowReconstructor:
             masked = np.concatenate([masked, pad], axis=1)
             masks = np.concatenate(
                 [masks, np.repeat(masks[:, -1:], Tb - T, axis=1)], axis=1)
-        key = ("batch", Tb)
-        fn = self._compiled.get(key)
-        if fn is None:
-            fn = jax.jit(jax.vmap(self._build(Tb)))
-            self._compiled[key] = fn
+        fn = self.compiled_batch_fn(Tb)
         out = np.asarray(fn(jnp.asarray(masked), jnp.asarray(masks)))
         return out[:, :T]
 
@@ -190,10 +227,7 @@ class SlidingWindowReconstructor:
             pad = np.repeat(masked[-1:], Tb - T, axis=0)
             masked = np.concatenate([masked, pad], axis=0)
             masks = np.concatenate([masks, np.repeat(masks[-1:], Tb - T, axis=0)], 0)
-        fn = self._compiled.get(Tb)
-        if fn is None:
-            fn = self._build(Tb)
-            self._compiled[Tb] = fn
+        fn = self.compiled_fn(Tb)
         out = np.asarray(fn(jnp.asarray(masked), jnp.asarray(masks)))
         return out[:T]
 
@@ -220,6 +254,7 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
                   stride: int = 16, overlap: int = 12,
                   output_scale: float = 255.0, overwrite: bool = False,
                   log_every: int = 50, window_batch: int = 4,
+                  batch_events: int = 1,
                   config_path: str = "<inline>") -> Path:
     """Full inference driver (reference scripts/infer.py main)."""
     if data_root is not None:
@@ -270,31 +305,76 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
 
     passes = max(1, int(passes))
     log_every = max(1, int(log_every))
+    batch_events = max(1, int(batch_events))
+
+    def write_event(pass_idx: int, event_idx: int, comp: np.ndarray) -> None:
+        event_name = f"event_{event_idx + 1:02d}"
+        if pass_idx == 0:
+            ds = group.create_dataset(event_name, shape=comp.shape,
+                                      chunks=comp.shape, dtype="float32",
+                                      overwrite=True)
+            ds[:] = comp
+        else:
+            cur = group[event_name][:]
+            group[event_name][:] = cur + (comp - cur) / float(pass_idx + 1)
+
     for pass_idx in range(passes):
         logging.info("Starting pass %d/%d", pass_idx + 1, passes)
         t0 = time.time()
         offset = 0
+        # equal-bucket event groups run as ONE vmapped program (batch_events
+        # > 1): independent events fill the chip instead of serial dispatch
+        pending: Dict[int, list] = {}
+
+        def flush(bucket: int) -> None:
+            nonlocal offset
+            items = pending.pop(bucket, [])
+            if not items:
+                return
+            if len(items) == 1:
+                idx, m, k = items[0]
+                write_event(pass_idx, idx, recon(m, k))
+            else:
+                tmax = max(m.shape[0] for _, m, _ in items)
+
+                def pad_t(a: np.ndarray) -> np.ndarray:
+                    if a.shape[0] == tmax:
+                        return a
+                    reps = np.repeat(a[-1:], tmax - a.shape[0], axis=0)
+                    return np.concatenate([a, reps], axis=0)
+
+                ms = np.stack([pad_t(m) for _, m, _ in items])
+                ks = np.stack([pad_t(k) for _, _, k in items])
+                comps = recon.batch(ms, ks)
+                for (idx, m, _), comp in zip(items, comps):
+                    write_event(pass_idx, idx, comp[:m.shape[0]])
+            offset += len(items)
+
         for batch_idx, batch in enumerate(test_loader):
             frames, masked, masks = batch  # (1, T, H, W, C)
             T = frames.shape[1]
-            logging.info("Event %d | frames=%d h=%d w=%d c=%d", offset, T,
+            logging.info("Event %d | frames=%d h=%d w=%d c=%d", batch_idx, T,
                          frames.shape[2], frames.shape[3], frames.shape[4])
-            comp = recon(masked[0], masks[0])
-            event_name = f"event_{offset + 1:02d}"
-            if pass_idx == 0:
-                ds = group.create_dataset(event_name, shape=comp.shape,
-                                          chunks=comp.shape, dtype="float32",
-                                          overwrite=True)
-                ds[:] = comp
+            if batch_events == 1:
+                write_event(pass_idx, batch_idx, recon(masked[0], masks[0]))
+                offset += 1
             else:
-                cur = group[event_name][:]
-                group[event_name][:] = cur + (comp - cur) / float(pass_idx + 1)
-            offset += 1
-            if (batch_idx + 1) % log_every == 0 or offset >= num_samples:
+                bucket = _round_up(max(T, recon.stride), recon.t_bucket)
+                pending.setdefault(bucket, []).append(
+                    (batch_idx, np.asarray(masked[0]), np.asarray(masks[0])))
+                if len(pending[bucket]) >= batch_events:
+                    flush(bucket)
+            if (batch_idx + 1) % log_every == 0:
                 elapsed = time.time() - t0
-                rate = offset / max(elapsed, 1e-6)
                 logging.info("Pass %d/%d | %d/%d samples | %.2f samples/sec",
-                             pass_idx + 1, passes, offset, num_samples, rate)
+                             pass_idx + 1, passes, offset, num_samples,
+                             offset / max(elapsed, 1e-6))
+        for bucket in list(pending):
+            flush(bucket)
+        elapsed = time.time() - t0
+        logging.info("Pass %d/%d | %d/%d samples | %.2f samples/sec",
+                     pass_idx + 1, passes, offset, num_samples,
+                     offset / max(elapsed, 1e-6))
 
     logging.info("Inference completed. Output saved to %s", output)
     return output

@@ -94,8 +94,23 @@ class P2IGenerator(nn.Module):
                    inference=inference, idw_max_points=max_points,
                    idw_factored=factored, idw_shared_batch_mask=shared, **kw)
 
+    def prepare_idw(self, mask_xy: jax.Array):
+        """Precompute the mask-derived gauge selection for the factored
+        shared-mask IDW path (stis gauges / sliding windows of one event).
+
+        ``mask_xy``: (H, W) spatial observation pattern. The result can be fed
+        to ``__call__(..., idw_prepared=...)`` so the selection runs once per
+        run instead of inside every compiled window batch (it is a constant of
+        the mask, ~never of the values)."""
+        from ..ops.idw import factored_prepare
+
+        max_gauges = InputBlock.gauge_budget(self.idw_max_points,
+                                             self.length)
+        return factored_prepare(mask_xy, max_gauges, k=4)
+
     @nn.compact
-    def __call__(self, masked_frames: jax.Array, masks: jax.Array) -> jax.Array:
+    def __call__(self, masked_frames: jax.Array, masks: jax.Array,
+                 idw_prepared=None) -> jax.Array:
         b, t, h, w, c = masked_frames.shape
         factored = not self.inference
         base = self.base_channels
@@ -108,7 +123,7 @@ class P2IGenerator(nn.Module):
                        max_points=self.idw_max_points,
                        factored=self.idw_factored,
                        shared_batch_mask=self.idw_shared_batch_mask,
-                       name="input")(x_in, m_in)
+                       name="input")(x_in, m_in, prepared=idw_prepared)
         x = x.astype(self.compute_dtype)
 
         x_ = BasicConvDO(t * c, base, 3, relu=False, groups=4, factored=factored,

@@ -258,8 +258,14 @@ class InputBlock(nn.Module):
     factored: bool = False  # exact fast path for frame-constant masks (sti/stis)
     shared_batch_mask: bool = False  # all batch samples share one spatial mask
 
+    @staticmethod
+    def gauge_budget(max_points: int, depth: int) -> int:
+        """Static per-pixel gauge slot budget for the factored path."""
+        return max(-(-max_points // max(depth, 1) // 128) * 128, 128)
+
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: jax.Array,
+                 prepared=None) -> jax.Array:
         from .idw import extract_points, idw_3d_factored, idw_3d_knn
 
         B, H, W, D = x.shape
@@ -276,14 +282,20 @@ class InputBlock(nn.Module):
             # mask is constant across frames: use the factorized exact k-NN
             from .idw import factored_apply, factored_prepare
 
-            max_gauges = -(-self.max_points // max(D, 1) // 128) * 128
-            max_gauges = max(max_gauges, 128)
+            max_gauges = self.gauge_budget(self.max_points, D)
 
             if self.shared_batch_mask:
                 # every sample shares one spatial mask (stis gauge files /
                 # sliding windows of one event): the mask-derived gauge
-                # selection is computed ONCE for the batch
-                gd2, gpix = factored_prepare(mask_dhw[0, 0], max_gauges, k=self.k)
+                # selection is computed ONCE for the batch — or hoisted out
+                # of the compiled program entirely via ``prepared``
+                # (P2IGenerator.prepare_idw), since it is a constant of the
+                # mask, not of the values
+                if prepared is not None:
+                    gd2, gpix = prepared
+                else:
+                    gd2, gpix = factored_prepare(mask_dhw[0, 0], max_gauges,
+                                                 k=self.k)
                 out = jax.vmap(lambda v: factored_apply(
                     gd2, gpix, v, k=self.k, rho=self.rho, tau=self.tau))(vals_dhw)
             else:

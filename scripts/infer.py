@@ -27,6 +27,9 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--stride", type=int, default=16)
     parser.add_argument("--overlap", type=int, default=12)
     parser.add_argument("--output-scale", type=float, default=255.0)
+    parser.add_argument("--batch-events", type=int, default=1,
+                        help="Equal-length events reconstructed per compiled "
+                             "call (vmapped); 1 = sequential.")
     parser.add_argument("--window-batch", type=int, default=4,
                         help="Windows evaluated per generator call.")
     parser.add_argument("--overwrite", action="store_true")
@@ -56,6 +59,7 @@ def main(args: Optional[argparse.Namespace] = None) -> None:
         overwrite=parsed.overwrite,
         log_every=parsed.log_every,
         window_batch=parsed.window_batch,
+        batch_events=parsed.batch_events,
         config_path=str(parsed.config),
     )
 

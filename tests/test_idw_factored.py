@@ -99,3 +99,46 @@ def test_shared_batch_mask_inputblock_equivalence(rng):
     out_a = a.apply(va, jnp.asarray(x), jnp.asarray(masks))
     out_b = b.apply(va, jnp.asarray(x), jnp.asarray(masks))
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+
+
+def test_prepared_idw_hoist_equivalence():
+    """P2IGenerator with hoisted gauge selection == inline selection, and the
+    reconstructor's compiled program (which hoists internally) matches the
+    unhoisted output."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.inference.driver import SlidingWindowReconstructor
+    from p2igan_tpu.models import P2IGenerator
+
+    rng = np.random.default_rng(5)
+    hw, t = 16, 4
+    gen = P2IGenerator(H=hw, W=hw, length=t, num_res=1, base_channels=16,
+                       idw_max_points=128, idw_chunk=256,
+                       idw_factored=True, idw_shared_batch_mask=True)
+    flat = np.zeros((hw * hw,), np.float32)
+    flat[rng.choice(hw * hw, 13, replace=False)] = 1.0
+    masks = np.broadcast_to(flat.reshape(1, 1, hw, hw, 1),
+                            (2, t, hw, hw, 1)).astype(np.float32)
+    frames = rng.random((2, t, hw, hw, 1)).astype(np.float32)
+    masked = frames * masks
+    variables = gen.init(jax.random.key(0), jnp.asarray(masked), jnp.asarray(masks))
+
+    inline = gen.apply(variables, jnp.asarray(masked), jnp.asarray(masks))
+    prep = gen.prepare_idw(jnp.asarray(masks[0, 0, :, :, 0]))
+    hoisted = gen.apply(variables, jnp.asarray(masked), jnp.asarray(masks),
+                        idw_prepared=prep)
+    np.testing.assert_array_equal(np.asarray(inline), np.asarray(hoisted))
+
+    # event-level: reconstructor hoists internally
+    ev_masked, ev_masks = masked[0], masks[0]
+    recon = SlidingWindowReconstructor(gen, variables, stride=t, overlap=1,
+                                       window_batch=2, t_bucket=t)
+    out = recon(ev_masked, ev_masks)
+    gen_inline = P2IGenerator(H=hw, W=hw, length=t, num_res=1, base_channels=16,
+                              idw_max_points=128, idw_chunk=256,
+                              idw_factored=True, idw_shared_batch_mask=False)
+    recon2 = SlidingWindowReconstructor(gen_inline, variables, stride=t,
+                                        overlap=1, window_batch=2, t_bucket=t)
+    out2 = recon2(ev_masked, ev_masks)
+    np.testing.assert_allclose(out, out2, atol=1e-5)

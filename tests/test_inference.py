@@ -89,3 +89,40 @@ def test_run_inference_end_to_end(tmp_path, monkeypatch):
     assert ev.shape == (10, 32, 32, 1)
     assert ev.min() >= 0.0
     assert np.isfinite(ev).all()
+
+
+def test_run_inference_batched_events_matches_sequential(tmp_path, monkeypatch):
+    """batch_events>1 groups equal-bucket events through recon.batch; outputs
+    must match the sequential driver."""
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    fake.write_h5_events(tmp_path / "events", n_events=3, T=10, H=32, W=32)
+    mask_file = fake.write_gauge_mask(tmp_path / "mask.txt", H=32, W=32, n_gauges=20)
+
+    cfg = {
+        "seed": 1,
+        "save_dir": str(tmp_path / "weights"),
+        "model": {"name": "simple", "in_channels": 1, "base_channels": 4},
+        "data": {
+            "train": {"data_root": str(tmp_path / "events"), "w": 32, "h": 32,
+                      "sample_length": 4,
+                      "mask": {"type": "stis", "file": str(mask_file)}},
+            "test": {"data_root": str(tmp_path / "events"), "w": 32, "h": 32,
+                     "sample_length": None},
+        },
+        "loss": {"use_gan": 0, "k1_weight": 0.0},
+        "train": {"optimizer": {"lr": 1e-4}, "batch_size": 1, "num_workers": 1,
+                  "iterations": 1, "log_step": 1, "use_validation": False},
+    }
+    from p2igan_tpu.training.trainer import Trainer
+
+    Trainer(cfg).train()
+
+    seq = run_inference(cfg, stride=4, overlap=2, overwrite=True,
+                        output=str(tmp_path / "seq.zarr"))
+    bat = run_inference(cfg, stride=4, overlap=2, overwrite=True,
+                        batch_events=2, output=str(tmp_path / "bat.zarr"))
+    gs, gb = zarrlite.open(seq, mode="r"), zarrlite.open(bat, mode="r")
+    assert gs.array_keys() == gb.array_keys() == ["event_01", "event_02",
+                                                  "event_03"]
+    for k in gs.array_keys():
+        np.testing.assert_allclose(gs[k][:], gb[k][:], atol=1e-5)

@@ -41,12 +41,25 @@ def _select_values(pred, gt, mask, mode: str) -> Tuple[np.ndarray, np.ndarray]:
 
 def nse_per_frame(pred: np.ndarray, gt: np.ndarray, mask: np.ndarray,
                   mode: str) -> np.ndarray:
+    """Per-frame NSE over the mode-selected pixels, vectorized over T.
+
+    Matches the reference's frame loop (exp3.py:31-48): non-finite pixels are
+    dropped per frame; frames with no finite pixel give NaN.
+    """
     t = min(pred.shape[0], gt.shape[0])
-    out = np.full(t, np.nan, dtype=np.float64)
-    for i in range(t):
-        p_sel, g_sel = _select_values(pred[i:i + 1], gt[i:i + 1], mask, mode)
-        out[i] = nse(p_sel, g_sel)
-    return out
+    invert = mode == "radar"
+    if mode not in ("radar", "gauge"):
+        raise ValueError(f"Unknown mode: {mode}")
+    p = np.asarray(select_by_mask(pred[:t], mask, invert=invert), np.float64)
+    g = np.asarray(select_by_mask(gt[:t], mask, invert=invert), np.float64)
+    ok = np.isfinite(p) & np.isfinite(g)          # (T, n_sel)
+    n_ok = ok.sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        resid = np.where(ok, (p - g) ** 2, 0.0).sum(axis=1)
+        g_mean = np.where(ok, g, 0.0).sum(axis=1) / np.maximum(n_ok, 1)
+        spread = np.where(ok, (g - g_mean[:, None]) ** 2, 0.0).sum(axis=1)
+        out = 1.0 - resid / (spread + 1e-10)
+    return np.where(n_ok > 0, out, np.nan)
 
 
 def _subsample(x, y, max_points, rng):
@@ -182,72 +195,84 @@ def nse_boxplot(nse_by_method: Dict[str, List[float]], out_path: str) -> None:
     plt.close(fig)
 
 
+def _event_nse_score(pred_ev: np.ndarray, truth_ev: np.ndarray,
+                     mask: np.ndarray, mode: str) -> float:
+    """One event's NSE: per-frame scores clamped >= 0, NaN-mean'd
+    (reference exp3.py:294-297)."""
+    frames = nse_per_frame(pred_ev, truth_ev, mask, mode)
+    frames = np.where(np.isfinite(frames), np.maximum(frames, 0.0), np.nan)
+    if not np.any(np.isfinite(frames)):
+        return float("nan")
+    return float(np.nanmean(frames))
+
+
+def _per_event_pass(preds: Dict[str, Dict[str, np.ndarray]],
+                    truth: Dict[str, np.ndarray], mask: np.ndarray, mode: str,
+                    crop_size: int):
+    """Walk events once: per-event NSE scores + transformed/cropped
+    concatenations for the aggregate metrics and plots."""
+    scores: Dict[str, List[float]] = {name: [] for name in preds}
+    chunks: Dict[str, List[np.ndarray]] = {name: [] for name in preds}
+    truth_chunks: List[np.ndarray] = []
+
+    for key, truth_ev in truth.items():
+        if truth_ev is None:
+            continue
+        truth_ev = crop_center(transform_mmhr(truth_ev), crop_size)
+        truth_chunks.append(truth_ev)
+        for name, src in preds.items():
+            if not isinstance(src, dict) or src.get(key) is None:
+                continue
+            pred_ev = transform_mmhr(src[key])
+            pred_ev, truth_al = align_length(pred_ev, truth_ev)
+            pred_ev = crop_center(pred_ev, crop_size)
+            scores[name].append(_event_nse_score(pred_ev, truth_al, mask, mode))
+            chunks[name].append(pred_ev)
+            truth_ev = truth_al
+
+    cat = lambda lst: np.concatenate(lst, axis=0) if lst else np.empty((0,))  # noqa: E731
+    return (cat(truth_chunks),
+            {name: cat(lst) for name, lst in chunks.items()},
+            scores)
+
+
 def run_exp3(preds: Dict[str, Union[np.ndarray, Dict[str, np.ndarray]]],
              truth: Union[np.ndarray, Dict[str, np.ndarray]],
              mask: np.ndarray,
              mode: str,
              crop_size: int,
              out_dir: str) -> Dict[str, float]:
-    """Reference run_exp3 (exp3.py:258-362)."""
+    """Aggregate + per-event NSE analysis with the four reference figures
+    (reference exp3.py:258-362; per-event boxplot data only exists for
+    dict-of-events inputs, as there)."""
     ensure_dir(out_dir)
-    metrics: Dict[str, float] = {}
-    already_transformed = False
-    nse_by_method: Dict[str, List[float]] = {}
 
     if isinstance(truth, dict):
-        event_keys = list(truth.keys())
-        truth_list: List[np.ndarray] = []
-        preds_concat: Dict[str, List[np.ndarray]] = {name: [] for name in preds}
-        nse_by_method = {name: [] for name in preds}
-        for event_key in event_keys:
-            truth_ev = truth.get(event_key)
-            if truth_ev is None:
-                continue
-            truth_ev = crop_center(transform_mmhr(truth_ev), crop_size)
-            truth_list.append(truth_ev)
-            for name, src in preds.items():
-                if not isinstance(src, dict):
-                    continue
-                pred_ev = src.get(event_key)
-                if pred_ev is None:
-                    continue
-                pred_ev = transform_mmhr(pred_ev)
-                pred_ev, truth_aligned = align_length(pred_ev, truth_ev)
-                pred_ev = crop_center(pred_ev, crop_size)
-                frames = nse_per_frame(pred_ev, truth_aligned, mask, mode)
-                frames = np.where(np.isfinite(frames), np.maximum(frames, 0.0), np.nan)
-                nse_event = float(np.nanmean(frames)) if np.any(np.isfinite(frames)) \
-                    else float("nan")
-                nse_by_method[name].append(nse_event)
-                preds_concat[name].append(pred_ev)
-                truth_ev = truth_aligned
-        truth = np.concatenate(truth_list, axis=0) if truth_list else np.empty((0,))
-        preds = {name: np.concatenate(lst, axis=0) if lst else np.empty((0,))
-                 for name, lst in preds_concat.items()}
-        already_transformed = True
+        truth, preds, nse_by_method = _per_event_pass(preds, truth, mask,
+                                                      mode, crop_size)
+    else:
+        nse_by_method = {}
+        truth = crop_center(transform_mmhr(truth), crop_size)
+        preds = {name: crop_center(align_length(transform_mmhr(p), truth)[0],
+                                   crop_size)
+                 for name, p in preds.items()}
 
-    if not already_transformed:
-        truth = transform_mmhr(truth)
-    truth = crop_center(truth, crop_size)
-
-    pred_list, labels = [], []
+    metrics: Dict[str, float] = {}
+    pred_list: List[np.ndarray] = []
     for name, pred in preds.items():
-        if not already_transformed:
-            pred = transform_mmhr(pred)
-        pred, truth_aligned = align_length(pred, truth)
-        pred = crop_center(pred, crop_size)
-        p_sel, g_sel = _select_values(pred, truth_aligned, mask, mode)
+        pred, truth_al = align_length(pred, truth)
+        p_sel, g_sel = _select_values(pred, truth_al, mask, mode)
         metrics[f"NSE_{name}"] = nse(p_sel, g_sel)
         pred_list.append(pred.ravel())
-        labels.append(name)
 
+    labels = list(preds.keys())
     gt_flat = truth.ravel()
-    scatter_panels(pred_list, gt_flat, labels,
-                   os.path.join(out_dir, "scatter_panels.pdf"), residual=False)
-    scatter_panels(pred_list, gt_flat, labels,
-                   os.path.join(out_dir, "residual_panels.pdf"), residual=True)
+    figure = lambda fname: os.path.join(out_dir, fname)  # noqa: E731
+    scatter_panels(pred_list, gt_flat, labels, figure("scatter_panels.pdf"),
+                   residual=False)
+    scatter_panels(pred_list, gt_flat, labels, figure("residual_panels.pdf"),
+                   residual=True)
     if nse_by_method:
-        nse_boxplot(nse_by_method, os.path.join(out_dir, "nse_boxplot.pdf"))
-        logfreq_plot(pred_list, gt_flat, labels,
-                     os.path.join(out_dir, "logfreq.pdf"))
+        nse_boxplot(nse_by_method, figure("nse_boxplot.pdf"))
+        logfreq_plot(pred_list, gt_flat, labels, figure("logfreq.pdf"))
     return metrics

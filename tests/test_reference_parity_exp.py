@@ -113,3 +113,40 @@ def test_transform_and_helpers_match_reference(ref_exp1):
         g = categorical_metrics(x, y, thr)
         for k in w:
             np.testing.assert_allclose(g[k], w[k], rtol=1e-7, err_msg=k)
+
+
+@pytest.mark.parametrize("mode", ["radar", "gauge"])
+def test_run_exp3_metrics_match_reference(ref_exp1, mode, tmp_path):
+    """run_exp3 aggregate + boxplot inputs vs the executed reference exp3
+    (figures are written by both; the comparison is the metric values)."""
+    import importlib
+
+    ref_exp3 = importlib.import_module("ref_experiments.exp3")
+    from experiments.exp3 import run_exp3
+
+    preds, truth, mask = _fake_eval_dataset(seed=11)
+    want = ref_exp3.run_exp3(preds, truth, mask, mode, 16,
+                             str(tmp_path / "ref"))
+    got = run_exp3(preds, truth, mask, mode, 16, str(tmp_path / "ours"))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6, err_msg=k)
+
+
+def test_nse_per_frame_matches_reference(ref_exp1):
+    import importlib
+
+    ref_exp3 = importlib.import_module("ref_experiments.exp3")
+    from experiments.exp3 import nse_per_frame
+
+    rng = np.random.default_rng(13)
+    pred = (rng.random((8, 16, 16)) * 3).astype(np.float32)
+    gt = (rng.random((8, 16, 16)) * 3).astype(np.float32)
+    pred[2, 3, 4] = np.nan  # non-finite pixels dropped per frame
+    mask = np.zeros((16, 16), bool)
+    mask[rng.integers(0, 16, 30), rng.integers(0, 16, 30)] = True
+    for mode in ("radar", "gauge"):
+        want = ref_exp3._nse_per_frame(pred, gt, mask, mode)
+        got = nse_per_frame(pred, gt, mask, mode)
+        np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True,
+                                   err_msg=mode)

@@ -121,12 +121,36 @@ class EventDataset(_MaskMixin):
 
     @staticmethod
     def _read_video(path: str) -> np.ndarray:
+        """Decode a video file to (T, H, W, 3) RGB uint8.
+
+        Reference sti_dataset.py:178-182 uses decord; decord is optional here
+        with an OpenCV fallback (same RGB layout — and the downstream
+        channel-mean to grayscale is order-invariant anyway)."""
         try:
             from decord import VideoReader  # optional dependency
+
+            vr = VideoReader(path)
+            return vr.get_batch(range(len(vr))).asnumpy()
+        except ImportError:
+            pass
+        try:
+            import cv2
         except ImportError as e:  # pragma: no cover
-            raise ImportError("decord is required for video files") from e
-        vr = VideoReader(path)
-        return vr.get_batch(range(len(vr))).asnumpy()
+            raise ImportError(
+                "decord or opencv is required for video files") from e
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise IOError(f"cannot open video: {path}")
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        cap.release()
+        if not frames:
+            raise IOError(f"no frames decoded from video: {path}")
+        return np.stack(frames)
 
     # -- normalization ------------------------------------------------------
     def _post_process(self, video: np.ndarray, rng) -> Item:

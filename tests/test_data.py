@@ -108,3 +108,39 @@ def test_loader_epoch_reshuffle(tree):
     n1 = sum(v.shape[0] for v, _, _ in loader)
     assert n1 == len(ds)
     assert loader.epoch == 1
+
+
+def test_event_dataset_video_branch(tmp_path):
+    """Video events (.avi) decode through the reference's video path
+    (sti_dataset.py:178-182): RGB frames -> /255 -> channel-mean grayscale ->
+    mask -> crop. Uses the OpenCV fallback (decord absent here)."""
+    cv2 = pytest.importorskip("cv2")
+
+    h = w = 32
+    t = 6
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(t, h, w), dtype=np.uint8)
+    path = tmp_path / "event_1.avi"
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"), 5.0,
+                         (w, h), True)
+    assert vw.isOpened(), "cv2 cannot encode MJPG avi in this environment"
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_GRAY2BGR))
+    vw.release()
+
+    from p2igan_tpu.data.stores import EventDataset
+
+    ds = EventDataset({"data_root": str(tmp_path), "w": w, "h": h,
+                       "sample_length": 4,
+                       "mask": {"type": "nowcasting", "keep": 2}})
+    assert len(ds) == 1
+    video, masked, mask = ds.__getitem__(0, rng=np.random.default_rng(1))
+    assert video.shape == (4, h, w, 1)
+    assert masked.shape == mask.shape == video.shape
+    # MJPG is lossy: grayscale values round-trip within a few uint8 steps
+    want = frames[:4].astype(np.float32)[..., None] / 255.0
+    assert np.abs(video - want).mean() < 0.03
+    np.testing.assert_array_equal(masked, video * mask)
+    # nowcasting mask keeps the first `keep` frames
+    np.testing.assert_array_equal(mask[:2], np.ones_like(mask[:2]))
+    np.testing.assert_array_equal(mask[2:], np.zeros_like(mask[2:]))

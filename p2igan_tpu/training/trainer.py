@@ -285,13 +285,8 @@ class Trainer:
             return
         save_dir = self.save_dir / "artifacts"
         save_dir.mkdir(parents=True, exist_ok=True)
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.cm as cm
-        from PIL import Image, ImageDraw
+        from ..metrics.plots import example_image
 
-        del cm
-        cmap = matplotlib.colormaps["viridis"]
         for b_idx, batch in zip(range(max_batches), loader):
             frames, masked, masks = self._put_batch(batch)
             preds = np.asarray(self.predict_fn(self.state, masked, masks))
@@ -299,27 +294,9 @@ class Trainer:
             for idx in range(min(samples_per_batch, frames.shape[0])):
                 gt = frames[idx, ..., 0]          # (T, H, W)
                 pd = np.clip(preds[idx, ..., 0], 0, 1)
-                stats = (gt.min(), gt.mean(), gt.max(), pd.min(), pd.mean(), pd.max())
-                if self.viz_scale == "fixed" and self.viz_vmin is not None:
-                    vmin, vmax = float(self.viz_vmin), float(self.viz_vmax)
-                elif self.viz_scale == "gt":
-                    vmin, vmax = gt.min(), gt.max()
-                else:
-                    vmin = min(gt.min(), pd.min())
-                    vmax = max(gt.max(), pd.max())
-                norm = lambda x: (x - vmin) / (vmax - vmin + 1e-6)  # noqa: E731
-                rows = []
-                for seq in (gt, pd):
-                    colored = [cmap(norm(fr))[..., :3] for fr in seq]
-                    rows.append(np.concatenate(colored, axis=1))
-                img = (np.concatenate(rows, axis=0) * 255).astype(np.uint8)
+                pil = example_image(gt, pd, scale=self.viz_scale,
+                                    vmin=self.viz_vmin, vmax=self.viz_vmax)
                 out_path = save_dir / f"{prefix}_epoch{epoch}_batch{b_idx}_ex{idx}.png"
-                pil = Image.fromarray(img)
-                draw = ImageDraw.Draw(pil)
-                draw.text((5, 5),
-                          f"GT min/mean/max: {stats[0]:.3f}/{stats[1]:.3f}/{stats[2]:.3f} | "
-                          f"Pred min/mean/max: {stats[3]:.3f}/{stats[4]:.3f}/{stats[5]:.3f} | "
-                          "cmap=viridis", fill=(255, 255, 255))
                 pil.save(out_path)
                 self.tracker.log_artifact(str(out_path))
 

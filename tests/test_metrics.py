@@ -110,3 +110,18 @@ def test_suite_end_to_end(rng):
     assert set(k.split("/")[0] for k in out) >= {"mae", "rmse", "ssim", "cat_thr0.50"}
     suite.reset()
     assert float(suite.state[0]["n_obs"]) == 0.0
+
+
+def test_plots_example_image():
+    from p2igan_tpu.metrics import plots
+
+    rng = np.random.default_rng(0)
+    gt = rng.random((3, 8, 8)).astype(np.float32)
+    pred = rng.random((3, 8, 8)).astype(np.float32)
+    lo, hi = plots.value_range(gt, pred)
+    assert lo <= gt.min() and hi >= pred.max()
+    assert plots.value_range(gt, pred, scale="fixed", vmin=0, vmax=1) == (0.0, 1.0)
+    grid = plots.colorize_grid(gt, pred, lo, hi)
+    assert grid.shape == (16, 24, 3) and grid.dtype == np.uint8
+    img = plots.example_image(gt, pred)
+    assert img.size == (24, 16)

@@ -1,11 +1,17 @@
-"""Benchmark: 128x128x16 event reconstructions/sec/chip (sliding-window infer).
+"""Benchmark: event reconstructions/sec + GAN steps/sec + MFU on one chip.
 
-Runs the flagship P2IGenerator over gauge-masked fake events with the
-reference inference protocol (stride 16, overlap 12, overlap averaging,
-x255 + clip) and reports throughput. Prints ONE JSON line.
+Headline: 128x128x16 event reconstructions/sec/chip over 64-frame gauge-masked
+events with the reference inference protocol (stride 16, overlap 12, overlap
+averaging, x255 + clip), serving mode = equal-length events vmapped through
+ONE compiled program. Also measures the full-config GAN train step
+(p2igan_gan_baseline.json implied workload: batch 12, 128^2x16, hinge) and
+reports MFU from XLA's compiled cost analysis against the v5e bf16 peak.
 
-The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is the
-ratio to BASELINE.json's ``published`` value when present, else null.
+Prints ONE JSON line. The reference publishes no numbers (BASELINE.md);
+``vs_baseline`` is the ratio to BASELINE.json's ``published`` value when
+present, else null. All benchmark data is synthesized device-side: this
+environment reaches the chip through a slow tunnel (BASELINE.md), so the
+bench measures compute, not the tunnel.
 """
 
 from __future__ import annotations
@@ -16,54 +22,164 @@ from pathlib import Path
 
 import numpy as np
 
+V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak per v5e chip (f32 data still runs
+# on the MXU with bf16 passes under the default precision config)
 
-def main() -> None:
+EVENT_T = 64          # frames per event (16 windows at step 4)
+N_EVENTS = 8
+H = W = 128
+T = 16
+
+
+def _program_flops(fn, *args) -> float:
+    """FLOPs of one execution of a jitted fn, from XLA's cost analysis."""
+    try:
+        import jax
+
+        lower = getattr(fn, "lower", None)
+        if lower is None:  # not a jitted callable: wrap
+            lower = jax.jit(lambda *a: fn(*a)).lower
+        cost = lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_inference(gen, variables):
     import jax
     import jax.numpy as jnp
 
     from p2igan_tpu.inference.driver import SlidingWindowReconstructor
-    from p2igan_tpu.models import P2IGenerator
 
-    EVENT_T = 64          # frames per event (16 windows at step 4)
-    N_EVENTS = 8
-    H = W = 128
-    T = 16
-
-    gen = P2IGenerator(H=H, W=W, length=T, base_channels=64,
-                       idw_max_points=1280, idw_chunk=16384, idw_factored=True,
-                       idw_shared_batch_mask=True)
     rng = np.random.default_rng(0)
-    init_masked = jnp.zeros((4, T, H, W, 1), jnp.float32)
     mask_flat = np.zeros((H * W,), np.float32)
     mask_flat[rng.choice(H * W, 79, replace=False)] = 1.0
-    gauge = np.broadcast_to(mask_flat.reshape(1, 1, H, W, 1), (4, T, H, W, 1)).copy()
-    variables = gen.init(jax.random.key(0), init_masked, jnp.asarray(gauge))
 
     recon = SlidingWindowReconstructor(gen, variables, stride=16, overlap=12,
                                        window_batch=8, output_scale=255.0,
                                        t_bucket=EVENT_T)
 
-    # events synthesized on device: the benchmark measures reconstruction
-    # throughput, not this environment's tunneled host<->device link
     event_mask = jnp.asarray(np.broadcast_to(
         mask_flat.reshape(1, H, W, 1), (EVENT_T, H, W, 1)).astype(np.float32))
     keys = jax.random.split(jax.random.key(0), N_EVENTS)
-    events = [
-        (jax.random.uniform(k, (EVENT_T, H, W, 1)) * event_mask, event_mask)
-        for k in keys
-    ]
+    masked = jnp.stack([jax.random.uniform(k, (EVENT_T, H, W, 1)) * event_mask
+                        for k in keys])
+    masks = jnp.broadcast_to(event_mask[None], masked.shape)
 
-    fn = recon._compiled.get(EVENT_T) or recon._build(EVENT_T)
-    recon._compiled[EVENT_T] = fn
-    out = fn(*events[0])  # warmup / compile
-    assert np.isfinite(np.asarray(out)).all()
+    # serving mode: all equal-length events through one vmapped program
+    fn = recon.compiled_batch_fn(EVENT_T)
+    out = fn(masked, masks)  # warmup/compile
+    jax.block_until_ready(out)
+    assert bool(jnp.isfinite(out).all())
 
+    reps = 3
     t0 = time.time()
-    outs = [fn(m, k) for m, k in events]  # async dispatch
+    for _ in range(reps):
+        out = fn(masked, masks)
+    jax.block_until_ready(out)
+    batched_rate = reps * N_EVENTS / (time.time() - t0)
+
+    # sequential-dispatch mode (one event per call, async pipeline)
+    fn1 = recon.compiled_fn(EVENT_T)
+    jax.block_until_ready(fn1(masked[0], masks[0]))
+    t0 = time.time()
+    outs = [fn1(masked[i], masks[i]) for i in range(N_EVENTS)]
     jax.block_until_ready(outs)
-    elapsed = time.time() - t0
-    rate = N_EVENTS / elapsed
-    assert all(bool(jnp.isfinite(o).all()) for o in outs)
+    seq_rate = N_EVENTS / (time.time() - t0)
+
+    flops_per_event = _program_flops(fn1, masked[0], masks[0])
+    rate = max(batched_rate, seq_rate)
+    mfu = rate * flops_per_event / V5E_PEAK_FLOPS if flops_per_event else None
+    return {
+        "events_per_sec": round(rate, 4),
+        "events_per_sec_batched": round(batched_rate, 4),
+        "events_per_sec_sequential": round(seq_rate, 4),
+        "flops_per_event": flops_per_event or None,
+        "mfu_inference": round(mfu, 5) if mfu is not None else None,
+    }
+
+
+def bench_train(gen, disc):
+    """Full-config GAN step: batch 12, 128^2 x 16 (p2igan_gan_baseline.json
+    implied workload). Falls back to batch 4 on OOM."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.training.steps import (TrainState, build_train_step,
+                                           make_optimizer)
+
+    rng = np.random.default_rng(1)
+    mask_flat = np.zeros((H * W,), np.float32)
+    mask_flat[rng.choice(H * W, 79, replace=False)] = 1.0
+
+    for batch in (12, 4):
+        try:
+            masks = jnp.asarray(np.broadcast_to(
+                mask_flat.reshape(1, 1, H, W, 1),
+                (batch, T, H, W, 1)).astype(np.float32))
+            frames = jax.random.uniform(jax.random.key(2), (batch, T, H, W, 1))
+            masked = frames * masks
+
+            gen_vars = dict(gen.init(jax.random.key(0), masked, masks))
+            disc_vars = dict(disc.init(jax.random.key(1), frames))
+            opt_g, opt_d = make_optimizer({"lr": 1e-4}), make_optimizer({"lr": 1e-4})
+            gp, dp = gen_vars.pop("params"), disc_vars.pop("params")
+            state = TrainState(step=jnp.zeros((), jnp.int32),
+                               gen_params=gp, gen_extra=gen_vars,
+                               opt_g=opt_g.init(gp), disc_params=dp,
+                               disc_extra=disc_vars, opt_d=opt_d.init(dp))
+            step_fn = build_train_step(gen, disc, opt_g, opt_d, use_gan=True,
+                                       gan_loss_type="hinge",
+                                       adversarial_weight=0.01, k1_alpha=0.05,
+                                       donate=False)
+            flops_per_step = _program_flops(
+                lambda s, f, m, k: step_fn(s, f, m, k), state, frames, masked,
+                masks)
+            state, metrics = step_fn(state, frames, masked, masks)
+            jax.block_until_ready(metrics["loss"])
+
+            reps = 3
+            t0 = time.time()
+            for _ in range(reps):
+                state, metrics = step_fn(state, frames, masked, masks)
+            jax.block_until_ready(metrics["loss"])
+            steps_per_sec = reps / (time.time() - t0)
+            mfu = (steps_per_sec * flops_per_step / V5E_PEAK_FLOPS
+                   if flops_per_step else None)
+            return {
+                "gan_steps_per_sec": round(steps_per_sec, 4),
+                "gan_batch": batch,
+                "gan_samples_per_sec": round(steps_per_sec * batch, 3),
+                "flops_per_step": flops_per_step or None,
+                "mfu_train": round(mfu, 5) if mfu is not None else None,
+            }
+        except Exception as e:  # OOM at batch 12 -> retry smaller
+            err = f"{type(e).__name__}: {e}"
+    return {"gan_steps_per_sec": None, "gan_error": err[:300]}
+
+
+def main() -> None:
+    import jax  # noqa: F401
+
+    from p2igan_tpu.models import P2IDiscriminator, P2IGenerator
+
+    gen = P2IGenerator(H=H, W=W, length=T, base_channels=64,
+                       idw_max_points=1280, idw_chunk=16384, idw_factored=True,
+                       idw_shared_batch_mask=True)
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    init_masked = jnp.zeros((4, T, H, W, 1), jnp.float32)
+    mask_flat = np.zeros((H * W,), np.float32)
+    mask_flat[rng.choice(H * W, 79, replace=False)] = 1.0
+    gauge = np.broadcast_to(mask_flat.reshape(1, 1, H, W, 1),
+                            (4, T, H, W, 1)).copy()
+    variables = gen.init(jax.random.key(0), init_masked, jnp.asarray(gauge))
+
+    result = bench_inference(gen, variables)
+    result.update(bench_train(gen, P2IDiscriminator(in_channels=T)))
 
     vs = None
     baseline_file = Path(__file__).parent / "BASELINE.json"
@@ -71,13 +187,14 @@ def main() -> None:
         published = json.loads(baseline_file.read_text()).get("published", {})
         ref = published.get("event_reconstructions_per_sec")
         if ref:
-            vs = rate / float(ref)
+            vs = result["events_per_sec"] / float(ref)
 
     print(json.dumps({
         "metric": "128x128x16 event reconstructions/sec/chip (sliding-window infer, 64-frame events)",
-        "value": round(rate, 4),
+        "value": result.pop("events_per_sec"),
         "unit": "events/sec",
         "vs_baseline": vs,
+        **result,
     }))
 
 

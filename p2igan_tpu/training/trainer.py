@@ -157,6 +157,34 @@ class Trainer:
             sh = replicated_sharding(self.mesh)
         return tuple(jax.device_put(jnp.asarray(x), sh) for x in (frames, masked, masks))
 
+    def _device_prefetch(self, loader, lookahead: int = 2):
+        """Double-buffer host->device transfers: a worker thread device_puts
+        up to ``lookahead`` batches ahead while the chip computes the current
+        step (the reference relies on pinned-memory non_blocking copies,
+        train.py:468-473; here the queue bounds in-flight HBM)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, lookahead))
+        _END = object()
+
+        def worker():
+            try:
+                for batch in loader:
+                    q.put(self._put_batch(batch))
+                q.put(_END)
+            except BaseException as e:  # propagate into the training thread
+                q.put(e)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     # ------------------------------------------------------------------
     def train(self) -> None:
         experiment_name = self.cfg.get("experiment_name")
@@ -197,16 +225,18 @@ class Trainer:
                     break
 
     def _train_one_epoch(self, epoch: int) -> float:
-        running = {"loss": 0.0, "rec": 0.0, "adv": 0.0, "dis": 0.0}
+        # accumulated DEVICE-side: float() per step would sync the pipeline
+        # and serialize dispatch against the prefetch thread
+        running = {"loss": jnp.zeros(()), "rec": jnp.zeros(()),
+                   "adv": jnp.zeros(()), "dis": jnp.zeros(())}
         steps = 0
         progress_interval = max(1, self.train_steps_per_epoch // 20)
         t0 = time.time()
-        for batch in self.train_loader:
+        for frames, masked, masks in self._device_prefetch(self.train_loader):
             if self.profile_dir and not self._profiling \
                     and self.global_step == self.profile_start:
                 jax.profiler.start_trace(str(self.profile_dir))
                 self._profiling = True
-            frames, masked, masks = self._put_batch(batch)
             self.state, metrics = self.train_step(self.state, frames, masked, masks)
             steps += 1
             self.global_step += 1
@@ -239,14 +269,15 @@ class Trainer:
                              epoch, self.global_step, self.max_steps, m["loss"], sps)
 
             m = metrics
-            running["loss"] += float(m["loss"])
-            running["rec"] += float(m["rec_loss"])
-            running["adv"] += float(m.get("adv_loss", 0.0))
-            running["dis"] += float(m.get("dis_loss", 0.0))
+            running["loss"] = running["loss"] + m["loss"]
+            running["rec"] = running["rec"] + m["rec_loss"]
+            running["adv"] = running["adv"] + m.get("adv_loss", 0.0)
+            running["dis"] = running["dis"] + m.get("dis_loss", 0.0)
             if self.global_step >= self.max_steps:
                 break
 
         denom = max(1, steps)
+        running = {k: float(v) for k, v in running.items()}
         self.last_rec_loss = running["rec"] / denom
         self.last_adv_loss = running["adv"] / denom
         self.last_dis_loss = running["dis"] / denom

@@ -94,6 +94,8 @@ def build_dataset_args(split_cfg: Dict[str, Any], defaults: Dict[str, Any] | Non
         args["data_root"] = split_cfg["data_root1"]
     else:
         raise KeyError("Dataset config requires 'data_root'.")
+    if "device_decode" in split_cfg:  # raw uint8 pipeline (train zarr only)
+        args["device_decode"] = bool(split_cfg["device_decode"])
     return args
 
 

@@ -26,9 +26,12 @@ from ..config import build_dataset_args, drop_sample_length, extract_shared_para
 from .stores import EventDataset, Item, ZarrWindowDataset
 
 
-def collate_pad_last(items: Sequence[Item]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Stack items, padding shorter sequences by repeating the last frame."""
-    max_len = max(v.shape[0] for v, _, _ in items)
+def collate_pad_last(items: Sequence[Item]) -> Tuple[np.ndarray, ...]:
+    """Stack items, padding shorter sequences by repeating the last frame.
+
+    Items are (video, masked, mask) triples — or (video_u8, mask_u8) pairs in
+    the raw device-decode pipeline; every stream is padded/stacked alike."""
+    max_len = max(item[0].shape[0] for item in items)
 
     def _pad(seq: np.ndarray) -> np.ndarray:
         if seq.shape[0] == max_len:
@@ -36,10 +39,8 @@ def collate_pad_last(items: Sequence[Item]) -> Tuple[np.ndarray, np.ndarray, np.
         pad = np.repeat(seq[-1:], max_len - seq.shape[0], axis=0)
         return np.concatenate([seq, pad], axis=0)
 
-    videos = np.stack([_pad(v) for v, _, _ in items])
-    masked = np.stack([_pad(m) for _, m, _ in items])
-    masks = np.stack([_pad(k) for _, _, k in items])
-    return videos, masked, masks
+    return tuple(np.stack([_pad(arr) for arr in stream])
+                 for stream in zip(*items))
 
 
 class Subset:

@@ -186,6 +186,10 @@ class ZarrWindowDataset(_MaskMixin):
                                self.root.attrs.get("suggested_window", 20))
         self.crop_h = args["h"]
         self.crop_w = args["w"]
+        # raw mode ships (uint8 video, uint8 mask) pairs; the fused decode +
+        # normalize + mask runs on device (ops/pallas/decode_mask.py), cutting
+        # host->device bytes 4x vs the float pipeline
+        self.raw = bool(args.get("device_decode", False))
         self._init_mask_cfg(args)
         self._frames_cache: Dict[str, Any] = {}
 
@@ -213,6 +217,10 @@ class ZarrWindowDataset(_MaskMixin):
 
         video = frames_z[start_t:start_t + length,
                          y0:y0 + self.crop_h, x0:x0 + self.crop_w]
+        if self.raw:
+            video_u8 = np.ascontiguousarray(video)[..., np.newaxis]
+            mask = self._make_mask(video_u8.shape, rng)
+            return video_u8, mask.astype(np.uint8)
         video = (video.astype(np.float32) / 255.0)[..., np.newaxis]
         mask = self._make_mask(video.shape, rng)
         return video, video * mask, mask

@@ -16,13 +16,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _decode_kernel(u8_ref, mask_ref, video_ref, masked_ref):
-    v = u8_ref[...].astype(jnp.float32) * (1.0 / 255.0)
+    # true division: bit-identical to the host pipeline's numpy `v / 255.0`
+    v = u8_ref[...].astype(jnp.float32) / 255.0
     video_ref[...] = v
     masked_ref[...] = v * mask_ref[...]
 
 
-def decode_normalize_mask(frames_u8: jax.Array, mask: jax.Array):
-    """(..., H, W) uint8 + float mask -> (video, masked) float32 in [0, 1]."""
+def decode_normalize_mask(frames_u8: jax.Array, mask: jax.Array,
+                          use_pallas: bool | None = None):
+    """(..., H, W) uint8 + 0/1 mask -> (video, masked) float32 in [0, 1]."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:  # XLA fallback (CPU tests / non-TPU backends)
+        video = frames_u8.astype(jnp.float32) / 255.0
+        return video, video * mask.astype(jnp.float32)
     orig_shape = frames_u8.shape
     H, W = orig_shape[-2], orig_shape[-1]
     n = 1

@@ -112,6 +112,7 @@ class Trainer:
         self.profile_start = int(train_cfg.get("profile_start_step", 2))
         self.profile_steps = int(train_cfg.get("profile_steps", 3))
         self._profiling = False
+        self._decode_fn = None
 
     # ------------------------------------------------------------------
     def _example_batch(self):
@@ -150,12 +151,26 @@ class Trainer:
         return jax.device_put(state, repl)
 
     def _put_batch(self, batch):
-        frames, masked, masks = batch
         sh = batch_sharding(self.mesh)
         n_dev = int(np.prod(self.mesh.devices.shape))
-        if frames.shape[0] % n_dev != 0:
+        if batch[0].shape[0] % n_dev != 0:
             sh = replicated_sharding(self.mesh)
-        return tuple(jax.device_put(jnp.asarray(x), sh) for x in (frames, masked, masks))
+        put = lambda x: jax.device_put(jnp.asarray(x), sh)  # noqa: E731
+        if len(batch) == 2:
+            # raw device-decode pipeline: (uint8 video, uint8 mask) transfers
+            # 4x fewer bytes; the fused decode+normalize+mask runs on device
+            if self._decode_fn is None:
+                from ..ops.pallas.decode_mask import decode_normalize_mask
+
+                def _decode(u8, mask_u8):
+                    mask = mask_u8.astype(jnp.float32)
+                    video, masked = decode_normalize_mask(u8, mask)
+                    return video, masked, mask
+
+                self._decode_fn = jax.jit(_decode)
+            return self._decode_fn(put(batch[0]), put(batch[1]))
+        frames, masked, masks = batch
+        return put(frames), put(masked), put(masks)
 
     def _device_prefetch(self, loader, lookahead: int = 2):
         """Double-buffer host->device transfers: a worker thread device_puts

@@ -136,3 +136,22 @@ def test_p2igan_gan_step(data_root, monkeypatch):
     # spectral state advanced during training
     u = np.asarray(tr.state.disc_extra["spectral"]["d2d_0"]["u"])
     assert np.isfinite(u).all()
+
+
+def test_device_decode_pipeline_matches_host(data_root, monkeypatch):
+    """data.train.device_decode=1 ships uint8 (video, mask) pairs and decodes
+    on device; losses must match the host float pipeline exactly (same IEEE
+    ops, same per-item RNG)."""
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+
+    losses = {}
+    for decode in (0, 1):
+        cfg = _cfg(data_root, model="simple", use_gan=0)
+        cfg["save_dir"] = str(data_root / f"weights_dd{decode}")
+        cfg["train"]["iterations"] = 2
+        if decode:
+            cfg["data"]["train"]["device_decode"] = 1
+        tr = Trainer(cfg)
+        tr.train()
+        losses[decode] = tr.last_rec_loss
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)

@@ -53,6 +53,9 @@ def bench_inference(gen, variables):
 
     from p2igan_tpu.inference.driver import SlidingWindowReconstructor
 
+    # serving path folds DOConv kernels once on host (as run_inference does)
+    gen, variables = gen.fold_for_inference(variables)
+
     rng = np.random.default_rng(0)
     mask_flat = np.zeros((H * W,), np.float32)
     mask_flat[rng.choice(H * W, 79, replace=False)] = 1.0

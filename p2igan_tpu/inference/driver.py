@@ -254,7 +254,7 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
                   stride: int = 16, overlap: int = 12,
                   output_scale: float = 255.0, overwrite: bool = False,
                   log_every: int = 50, window_batch: int = 4,
-                  batch_events: int = 1,
+                  batch_events: int = 1, fold_weights: bool = True,
                   config_path: str = "<inline>") -> Path:
     """Full inference driver (reference scripts/infer.py main)."""
     if data_root is not None:
@@ -299,6 +299,9 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
 
     generator = build_generator_for_inference(cfg)
     variables = variables_from_checkpoint(checkpoint_path, model_name=model_name)
+    if fold_weights and hasattr(generator, "fold_for_inference"):
+        # compose DOConv kernels once on host instead of per window chunk
+        generator, variables = generator.fold_for_inference(variables)
     recon = SlidingWindowReconstructor(
         generator, variables, stride=stride, overlap=overlap,
         window_batch=window_batch, output_scale=output_scale)

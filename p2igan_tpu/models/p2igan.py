@@ -32,6 +32,29 @@ from ..ops.layers import (
 from ..ops.spectral_norm import SNConv
 
 
+def fold_p2igan_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold every factored DOConv {W (out,in/g,D_mul), D (in,MN,D_mul)} node
+    of a variables pytree into the eval variant's plain HWIO ``W`` kernel
+    (host numpy; identical composition to the in-graph einsum)."""
+    import numpy as np
+
+    from ..ops.doconv import fold_doconv
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        w = node.get("W")
+        if w is not None and "D" in node and getattr(w, "ndim", 0) == 3:
+            oihw = fold_doconv(np.asarray(w), np.asarray(node["D"]))
+            out: Dict[str, Any] = {"W": np.transpose(oihw, (2, 3, 1, 0))}
+            if "bias" in node:
+                out["bias"] = node["bias"]
+            return out
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(dict(variables))
+
+
 def _data_cfg(config: Dict[str, Any]) -> Dict[str, Any]:
     return config.get("data_loader") or config["data"]["train"]
 
@@ -93,6 +116,20 @@ class P2IGenerator(nn.Module):
                    base_channels=model_cfg.get("base_channels", 64),
                    inference=inference, idw_max_points=max_points,
                    idw_factored=factored, idw_shared_batch_mask=shared, **kw)
+
+    def fold_for_inference(self, variables: Dict[str, Any]):
+        """(eval generator, folded variables): compose every factored DOConv
+        (W, D) into its plain HWIO kernel ONCE on host.
+
+        Mirrors the reference's eval blocks (BasicConv_do_eval /
+        ResBlock_do_eval, layer.py:43-147) — but the reference's infer path
+        never folds (build_generator keeps inference=False), so its GPU
+        re-composes every forward. The round-2 trace showed the same cost
+        here (per-scan-step weight composition + f32->bf16 kernel copies);
+        folding removes it from the hot program entirely.
+        """
+        folded = fold_p2igan_variables(variables)
+        return self.clone(inference=True), folded
 
     def prepare_idw(self, mask_xy: jax.Array):
         """Precompute the mask-derived gauge selection for the factored

@@ -151,3 +151,26 @@ def test_registry():
     assert isinstance(build_generator(cfg), STDKGenerator)
     cfg["model"]["name"] = "simple"
     assert isinstance(build_generator(cfg), SimpleGenerator)
+
+
+def test_fold_for_inference_equivalence(rng):
+    """Folded eval variant (plain HWIO kernels composed once on host) must
+    reproduce the factored forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.models import P2IGenerator
+
+    t, hw = 4, 16
+    gen = P2IGenerator(H=hw, W=hw, length=t, num_res=1, base_channels=16,
+                       idw_max_points=64, idw_chunk=256)
+    masks = (rng.random((2, t, hw, hw, 1)) < 0.2).astype(np.float32)
+    frames = rng.random((2, t, hw, hw, 1)).astype(np.float32)
+    masked = frames * masks
+    variables = gen.init(jax.random.key(0), jnp.asarray(masked), jnp.asarray(masks))
+
+    want = np.asarray(gen.apply(variables, jnp.asarray(masked), jnp.asarray(masks)))
+    gen_eval, folded = gen.fold_for_inference(variables)
+    assert gen_eval.inference
+    got = np.asarray(gen_eval.apply(folded, jnp.asarray(masked), jnp.asarray(masks)))
+    np.testing.assert_allclose(got, want, atol=2e-5)

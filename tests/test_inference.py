@@ -126,3 +126,45 @@ def test_run_inference_batched_events_matches_sequential(tmp_path, monkeypatch):
                                                   "event_03"]
     for k in gs.array_keys():
         np.testing.assert_allclose(gs[k][:], gb[k][:], atol=1e-5)
+
+
+def test_flattened_batch_program_matches_sequential():
+    """The flattened multi-event program (shared gauge mask, hoisted prep)
+    and the vmap fallback (distinct masks) both match per-event calls."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.inference.driver import SlidingWindowReconstructor
+    from p2igan_tpu.models import P2IGenerator
+
+    rng = np.random.default_rng(7)
+    hw, t, ev_t = 16, 4, 8
+    gen = P2IGenerator(H=hw, W=hw, length=t, num_res=1, base_channels=16,
+                       idw_max_points=128, idw_chunk=256,
+                       idw_factored=True, idw_shared_batch_mask=True)
+    flat = np.zeros((hw * hw,), np.float32)
+    flat[rng.choice(hw * hw, 11, replace=False)] = 1.0
+    shared = np.broadcast_to(flat.reshape(1, 1, hw, hw, 1),
+                             (3, ev_t, hw, hw, 1)).astype(np.float32)
+    frames = rng.random((3, ev_t, hw, hw, 1)).astype(np.float32)
+    masked = frames * shared
+    variables = gen.init(jax.random.key(0), jnp.asarray(masked[:, :t]),
+                         jnp.asarray(shared[:, :t]))
+
+    recon = SlidingWindowReconstructor(gen, variables, stride=t, overlap=1,
+                                       window_batch=2, t_bucket=ev_t)
+    seq = np.stack([recon(masked[e], shared[e]) for e in range(3)])
+    got = recon.batch(masked, shared)
+    np.testing.assert_allclose(got, seq, atol=1e-5)
+
+    # distinct per-event masks -> vmap fallback path
+    masks2 = np.zeros_like(shared).copy()
+    for e in range(3):
+        f = np.zeros((hw * hw,), np.float32)
+        f[np.random.default_rng(e).choice(hw * hw, 9, replace=False)] = 1.0
+        masks2[e] = np.broadcast_to(f.reshape(1, hw, hw, 1), (ev_t, hw, hw, 1))
+    masked2 = frames * masks2
+    seq2 = np.stack([recon(masked2[e], masks2[e]) for e in range(3)])
+    got2 = recon.batch(masked2, masks2)
+    # vmap changes f32 fusion/reduction order; outputs are x255-scaled
+    np.testing.assert_allclose(got2, seq2, atol=1e-3)

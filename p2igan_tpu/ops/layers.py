@@ -182,9 +182,12 @@ def downsample_duplicate_channels(x: jax.Array, length: int) -> jax.Array:
     if C % length != 0:
         raise ValueError(f"channels {C} must be divisible by {length}")
     x = max_pool2d(x, 2, 2)
-    per = C // length
-    x = x.reshape(B, H // 2, W // 2, length, per)
-    x = jnp.repeat(x, 2, axis=-1)
+    # duplicating each channel consecutively == the reference's per-frame
+    # group duplication (groups are contiguous); the concat formulation is
+    # 2.6x faster on TPU than jnp.repeat on a 5D view (scripts/tune_infer.py,
+    # bit-equal outputs)
+    x = x.reshape(B, H // 2, W // 2, C, 1)
+    x = jnp.concatenate([x, x], axis=-1)
     return x.reshape(B, H // 2, W // 2, C * 2)
 
 

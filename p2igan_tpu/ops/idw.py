@@ -182,6 +182,15 @@ def factored_prepare(
     return gd2, gpix
 
 
+@functools.lru_cache(maxsize=8)
+def frame_dz2_np(D: int) -> np.ndarray:
+    """(D query z, D frames) squared z-distances, exactly as the grid/point
+    normalizations produce them (grid linspace vs point idx/(D-1))."""
+    zq = np.linspace(0, 1, D, dtype=np.float32)
+    zp = (np.arange(D, dtype=np.float32) / max(D - 1, 1)).astype(np.float32)
+    return (zq[:, None] - zp[None, :]) ** 2
+
+
 def factored_apply(
     gd2: jax.Array,         # (HW, k) from factored_prepare
     gpix: jax.Array,        # (HW, k) from factored_prepare
@@ -197,13 +206,11 @@ def factored_apply(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
-    # all frames stay candidates (a frame pre-cut can drop one member of a
-    # ULP-level symmetric +-z tie whose flat-order resolution needs it); only
-    # the spatial gauge cut prunes — any global top-k pair's gauge must be in
-    # its pixel's top-k gauges (same-frame domination argument)
-    zq = jnp.asarray(np.linspace(0, 1, D, dtype=np.float32))   # grid z
-    zp = jnp.arange(D, dtype=jnp.float32) / max(D - 1, 1)      # point z
-    dz2 = (zq[:, None] - zp[None, :]) ** 2  # (D query z, D frames)
+    # all frames stay candidates IN THE XLA PATH (the Pallas kernel prunes
+    # frames per query z with an exact, tie-aware static selection); only
+    # the spatial gauge cut prunes here — any global top-k pair's gauge must
+    # be in its pixel's top-k gauges (same-frame domination argument)
+    dz2 = jnp.asarray(frame_dz2_np(D))  # (D query z, D frames)
 
     vals2d = values_dhw.reshape(D, HW)
     # FRAME-MAJOR candidate layout (HW, D, k): candidate index = f*k + slot is

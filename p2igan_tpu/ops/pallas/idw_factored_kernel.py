@@ -25,24 +25,68 @@ from jax.experimental.pallas import tpu as pltpu
 BIGD = np.float32(1e15)  # sqrt(1e30) sentinel for invalid candidates
 
 
+def _frame_selection(D: int, k: int, tie_eps: float = 1e-5):
+    """Static per-query-z frame pruning (exact): the global top-k can hold at
+    most k candidates of one gauge, and per gauge the candidate order across
+    frames is the frame-distance order — so only each z's nearest frames can
+    ever be selected. Two subtleties make the set slightly bigger than k:
+
+    * symmetric +-z frames have ULP-different dz^2 (mixed linspace vs
+      idx/(D-1) normalizations) that COLLAPSE to equal f32 distances after
+      ``sqrt(g + dz^2)`` — the f32 comparison then tie-breaks to the LOWER
+      frame index, which may be the numerically-farther one. Every frame
+      within ``tie_eps`` (absolute, >> ULP collapse scale ~1e-6, << the
+      4e-3 gap between distinct distance levels at D>=16) of the k-th
+      nearest is therefore kept;
+    * all z share one kf so the kernel is uniform — shorter rows pad with
+      the next-nearest frames (harmless supersets).
+
+    Selected frames are in ascending index order so argmin's lowest-index
+    tie-break stays the reference's flat frame-major nonzero order.
+    Returns (sel (D, kf) frame ids, kf)."""
+    from ..idw import frame_dz2_np
+
+    fd = frame_dz2_np(D).astype(np.float64)
+    orders = [np.argsort(fd[z], kind="stable") for z in range(D)]
+    keep = []
+    for z in range(D):
+        kth = fd[z][orders[z][min(k, D) - 1]]
+        keep.append({int(f) for f in range(D) if fd[z][f] <= kth + tie_eps})
+    kf = min(max(max(len(s) for s in keep), k), D)
+    sel = []
+    for z in range(D):
+        s = keep[z]
+        for f in orders[z]:
+            if len(s) >= kf:
+                break
+            s.add(int(f))
+        sel.append(np.sort(np.fromiter(s, dtype=np.int32)))
+    return np.stack(sel).astype(np.int32), kf
+
+
 def _combine_kernel(gd2_ref, cvals_ref, fd2_ref, out_ref, *, k: int, D: int,
-                    rho: float, tau: float):
-    """gd2: (k, B); cvals: (D*k, B); fd2: (D, D); out: (D, B).
+                    rho: float, tau: float, sel: tuple):
+    """gd2: (k, B); cvals: (D*k, B); fd2: (D, kf*k); out: (D, B).
 
     One program handles every query-z row for its pixel block, so the gauge
     distances and candidate values are loaded into VMEM once and reused D
-    times.
+    times. Per z only the kf=min(k,D) nearest frames' candidates compete
+    (see _frame_selection) — 4x fewer compare/select rounds than the full
+    frame-major matrix at D=16, k=4.
     """
     B = gd2_ref.shape[1]
+    kf = len(sel[0])
     gd2 = gd2_ref[...]                       # (k, B)
-    gd2_tiled = jnp.concatenate([gd2] * D, axis=0)  # (D*k, B) frame-major
+    gd2_tiled = jnp.concatenate([gd2] * kf, axis=0)  # (kf*k, B) frame-major
     cvals = cvals_ref[...]                   # (D*k, B)
-    row = jax.lax.broadcasted_iota(jnp.int32, (D * k, B), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kf * k, B), 0)
 
-    fd2 = fd2_ref[...]                       # (D, D*k) loaded once
+    fd2 = fd2_ref[...]                       # (D, kf*k) pruned, loaded once
 
     for z in range(D):
-        fz = fd2[z].reshape(D * k, 1)        # fd2 per candidate row
+        cv = jnp.concatenate(
+            [cvals[f * k:(f + 1) * k] for f in sel[z]], axis=0)  # (kf*k, B)
+        fz = fd2[z].reshape(kf * k, 1)
         cd = jnp.sqrt(gd2_tiled + fz)
         cd = jnp.where(cd < BIGD, cd, BIGD)
         w_sum = jnp.zeros((B,), jnp.float32)
@@ -51,7 +95,7 @@ def _combine_kernel(gd2_ref, cvals_ref, fd2_ref, out_ref, *, k: int, D: int,
             d_min = jnp.min(cd, axis=0)
             idx = jnp.argmin(cd, axis=0)     # lowest index on ties
             hit = row == idx[None, :]
-            v = jnp.sum(jnp.where(hit, cvals, 0.0), axis=0)
+            v = jnp.sum(jnp.where(hit, cv, 0.0), axis=0)
             if abs(rho - 2.0) < 1e-6:
                 invd = 1.0 / (d_min + tau)
                 w = invd * invd
@@ -64,35 +108,43 @@ def _combine_kernel(gd2_ref, cvals_ref, fd2_ref, out_ref, *, k: int, D: int,
         out_ref[z, :] = wv_sum / (w_sum + 1e-12)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "D", "rho", "tau", "hw_block"))
+@functools.partial(jax.jit, static_argnames=("k", "D", "rho", "tau",
+                                              "hw_block", "prune"))
 def factored_combine_pallas(gd2_t: jax.Array,    # (k, HW) gauge dists^2
                             cvals_t: jax.Array,  # (D*k, HW) candidate values
                             dz2: jax.Array,      # (D, D) frame dists^2
                             k: int, D: int, rho: float = 2.0, tau: float = 0.05,
-                            hw_block: int = 512) -> jax.Array:
+                            hw_block: int = 512, prune: bool = True) -> jax.Array:
     HW = gd2_t.shape[1]
     HWp = -(-HW // hw_block) * hw_block
     if HWp != HW:
         gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
         cvals_t = jnp.pad(cvals_t, ((0, 0), (0, HWp - HW)))
-    # frame distance per frame-major candidate row: (D query z, D*k)
-    dz2 = jnp.repeat(dz2, k, axis=1)
+    if prune:
+        sel, kf = _frame_selection(D, k)
+    else:  # full frame-major candidate set (pruning-equivalence testing)
+        sel = np.tile(np.arange(D, dtype=np.int32), (D, 1))
+        kf = D
+    # frame distance for each PRUNED frame-major candidate row: (D, kf*k)
+    dz2 = jnp.repeat(jnp.take_along_axis(dz2, jnp.asarray(sel), axis=1),
+                     k, axis=1)
 
     out = pl.pallas_call(
-        functools.partial(_combine_kernel, k=k, D=D, rho=rho, tau=tau),
+        functools.partial(_combine_kernel, k=k, D=D, rho=rho, tau=tau,
+                          sel=tuple(tuple(int(f) for f in row) for row in sel)),
         grid=(HWp // hw_block,),
         in_specs=[
             pl.BlockSpec((k, hw_block), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D * k, hw_block), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, D * k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, kf * k), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((D, hw_block), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, HWp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=D * HWp * D * k * 8, bytes_accessed=4 * HWp * (k + D * k + D),
+            flops=D * HWp * kf * k * 8, bytes_accessed=4 * HWp * (k + D * k + D),
             transcendentals=D * HWp * k,
         ),
     )(gd2_t, cvals_t, dz2)

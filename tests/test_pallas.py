@@ -86,8 +86,67 @@ def test_decode_normalize_mask(rng):
 
     u8 = rng.integers(0, 256, size=(2, 4, 16, 128), dtype=np.uint8)
     mask = (rng.random((2, 4, 16, 128)) < 0.3).astype(np.float32)
-    video, masked = decode_normalize_mask(jnp.asarray(u8), jnp.asarray(mask))
+    video, masked = decode_normalize_mask(jnp.asarray(u8), jnp.asarray(mask),
+                                          use_pallas=True)
     np.testing.assert_allclose(np.asarray(video), u8.astype(np.float32) / 255.0,
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(masked),
                                (u8.astype(np.float32) / 255.0) * mask, atol=1e-7)
+
+
+def test_factored_combine_frame_pruning_matches_full(rng):
+    """The kernel's static per-z frame pruning must be exact incl. tie-rich
+    cases: D=16 frame-constant masks produce symmetric +-z distance ties at
+    every interior frame."""
+    from p2igan_tpu.ops import idw as IDW
+
+    D, H, W = 16, 16, 16
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        mask_xy = np.zeros((H * W,), np.float32)
+        mask_xy[r.choice(H * W, 13, replace=False)] = 1.0
+        mask_xy = jnp.asarray(mask_xy.reshape(H, W))
+        values = jnp.asarray(r.normal(size=(D, H, W)).astype(np.float32))
+        from p2igan_tpu.ops.pallas.idw_factored_kernel import (
+            factored_combine_pallas)
+
+        gd2, gpix = IDW.factored_prepare(mask_xy, 128, k=4, use_pallas=True)
+        dz2 = jnp.asarray(IDW.frame_dz2_np(D))
+        vals2d = values.reshape(D, H * W)
+        cvals = jnp.transpose(vals2d[:, gpix], (1, 0, 2)).reshape(H * W, D * 4)
+        pruned = np.asarray(factored_combine_pallas(
+            jnp.transpose(gd2), jnp.transpose(cvals), dz2, 4, D, prune=True))
+        full = np.asarray(factored_combine_pallas(
+            jnp.transpose(gd2), jnp.transpose(cvals), dz2, 4, D, prune=False))
+        # identical arithmetic, superset candidates: pruning must be EXACT
+        np.testing.assert_array_equal(pruned, full)
+
+        # vs the compiled-XLA combine, only fma-level tie flips may differ
+        ref = np.asarray(IDW.idw_3d_factored(mask_xy, values, 128,
+                                             use_pallas=False))
+        out = np.asarray(IDW.idw_3d_factored(mask_xy, values, 128,
+                                             use_pallas=True))
+        diff = np.abs(ref - out)
+        assert (diff > 1e-4).mean() < 0.03, (seed, (diff > 1e-4).mean())
+        assert np.median(diff) < 1e-6
+
+
+def test_frame_selection_is_exact_prune():
+    """Brute-force check of the static frame selection: for every query z
+    the reference's top-k flat-order selection over (gauge, frame) pairs
+    only ever uses frames in sel[z]."""
+    from p2igan_tpu.ops.idw import frame_dz2_np
+    from p2igan_tpu.ops.pallas.idw_factored_kernel import _frame_selection
+
+    D, k = 16, 4
+    sel, kf = _frame_selection(D, k)
+    fd = frame_dz2_np(D)
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        g = np.sort(rng.random(k).astype(np.float32))  # gauge dists^2
+        for z in range(D):
+            d = np.sqrt(g[None, :] + fd[z][:, None])   # (frame, gauge)
+            flat = d.reshape(-1)                        # frame-major
+            top = np.argsort(flat, kind="stable")[:k]   # ref tie-break
+            frames_used = set(int(t) // k for t in top)
+            assert frames_used <= set(int(f) for f in sel[z]), (z, frames_used)

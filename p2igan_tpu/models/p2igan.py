@@ -139,11 +139,11 @@ class P2IGenerator(nn.Module):
         to ``__call__(..., idw_prepared=...)`` so the selection runs once per
         run instead of inside every compiled window batch (it is a constant of
         the mask, ~never of the values)."""
-        from ..ops.idw import factored_prepare
+        from ..ops.idw import factored_prepare_full
 
         max_gauges = InputBlock.gauge_budget(self.idw_max_points,
                                              self.length)
-        return factored_prepare(mask_xy, max_gauges, k=4)
+        return factored_prepare_full(mask_xy, max_gauges, k=4)
 
     @nn.compact
     def __call__(self, masked_frames: jax.Array, masks: jax.Array,

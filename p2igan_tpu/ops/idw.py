@@ -98,19 +98,20 @@ def idw_3d_knn(
     return out.reshape(D, H, W)
 
 
-def factored_prepare(
+def factored_prepare_full(
     mask_xy: jax.Array,  # (H, W) spatial observation pattern (>0 = observed)
     max_gauges: int,
     k: int = 4,
     use_pallas: bool | None = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Mask-derived stage of the factorized IDW: per-pixel top-k gauge
-    distances^2 and flat pixel indices, sorted in ascending pixel order.
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Mask-derived stage of the factorized IDW.
 
     Split out so callers whose batch shares one mask (stis gauge files;
     sliding-window inference over one event) compute it ONCE and reuse it
-    across samples via ``factored_apply``.
-    Returns (gd2 (HW, k), gpix (HW, k)).
+    across samples.
+    Returns (gd2 (HW, k) top-k gauge distances^2 per pixel,
+    gsel (HW, k) gauge-slot indices sorted ascending by gauge pixel,
+    gauge_pix (G,) flat pixel index per gauge slot, HW-1 for padding slots).
     """
     H, W = mask_xy.shape
     HW = H * W
@@ -155,12 +156,12 @@ def factored_prepare(
         gd2 = jnp.stack(gd2_list, axis=1)    # (HW, k)
         gsel = jnp.stack(gsel_list, axis=1)  # (HW, k) indices into gauge slots
 
-    gpix = safe[gsel]                                  # (HW, k)
-    # reorder each pixel's selected gauges by ascending pixel index (top-k
-    # ranks them by distance; flat-order tie-breaking needs pixel order).
-    # A fixed compare-swap network on the k columns is ~50x faster on TPU
-    # than XLA's general sort for k=4.
-    gp_cols = [gpix[:, i] for i in range(k)]
+    # reorder each pixel's selected gauges by ascending GAUGE PIXEL index
+    # (top-k ranks them by distance; flat-order tie-breaking needs pixel
+    # order; gauge slots themselves ascend in pixel order so sorting by slot
+    # index == sorting by pixel). A fixed compare-swap network on the k
+    # columns is ~50x faster on TPU than XLA's general sort for k=4.
+    gp_cols = [gsel[:, i] for i in range(k)]
     gd_cols = [gd2[:, i] for i in range(k)]
 
     def swap(i, j):
@@ -177,9 +178,21 @@ def factored_prepare(
         for end in range(k - 1, 0, -1):
             for i in range(end):
                 swap(i, i + 1)
-    gpix = jnp.stack(gp_cols, axis=1)
+    gsel = jnp.stack(gp_cols, axis=1)
     gd2 = jnp.stack(gd_cols, axis=1)
-    return gd2, gpix
+    return gd2, gsel, safe
+
+
+def factored_prepare(
+    mask_xy: jax.Array,
+    max_gauges: int,
+    k: int = 4,
+    use_pallas: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Back-compat wrapper: (gd2 (HW, k), gpix (HW, k) flat PIXEL indices)."""
+    gd2, gsel, gauge_pix = factored_prepare_full(mask_xy, max_gauges, k=k,
+                                                 use_pallas=use_pallas)
+    return gd2, gauge_pix[gsel]
 
 
 @functools.lru_cache(maxsize=8)
@@ -191,17 +204,22 @@ def frame_dz2_np(D: int) -> np.ndarray:
     return (zq[:, None] - zp[None, :]) ** 2
 
 
-def factored_apply(
-    gd2: jax.Array,         # (HW, k) from factored_prepare
-    gpix: jax.Array,        # (HW, k) from factored_prepare
-    values_dhw: jax.Array,  # (D, H, W)
+def factored_apply_gauges(
+    gd2: jax.Array,          # (HW, k) from factored_prepare_full
+    gsel: jax.Array,         # (HW, k) gauge-slot indices
+    gauge_vals: jax.Array,   # (D, G) values AT the gauge slots
+    out_hw: Tuple[int, int],
     k: int = 4,
     rho: float = 2.0,
     tau: float = 0.05,
     use_pallas: bool | None = None,
 ) -> jax.Array:
-    """Value-dependent stage of the factorized IDW (see factored_prepare)."""
-    D, H, W = values_dhw.shape
+    """Value-dependent stage of the factorized IDW from the (D, G) gauge
+    table — candidates gather from the tiny table instead of the full field
+    (values at non-observed pixels never contribute; reference
+    layer.py:340-344 gathers values at nonzero points only)."""
+    H, W = out_hw
+    D = gauge_vals.shape[0]
     HW = H * W
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -212,11 +230,42 @@ def factored_apply(
     # be in its pixel's top-k gauges (same-frame domination argument)
     dz2 = jnp.asarray(frame_dz2_np(D))  # (D query z, D frames)
 
-    vals2d = values_dhw.reshape(D, HW)
     # FRAME-MAJOR candidate layout (HW, D, k): candidate index = f*k + slot is
     # lexicographic in (frame, pixel) because gauge slots ascend in pixel
     # order — so argmin's lowest-index tie-break IS the reference's flat
     # (t-major) nonzero order; no explicit tie handling needed.
+    cvals = jnp.transpose(gauge_vals[:, gsel], (1, 0, 2)).reshape(HW, D * k)
+
+    if use_pallas:
+        from .pallas.idw_factored_kernel import combine_with_vjp
+
+        out = combine_with_vjp(jnp.transpose(gd2), jnp.transpose(cvals), dz2,
+                               k, D, rho, tau)
+        return out.reshape(D, H, W)
+
+    return _factored_combine_xla(gd2, cvals, dz2, k, rho, tau).reshape(D, H, W)
+
+
+def factored_apply(
+    gd2: jax.Array,         # (HW, k) from factored_prepare
+    gpix: jax.Array,        # (HW, k) flat pixel indices
+    values_dhw: jax.Array,  # (D, H, W)
+    k: int = 4,
+    rho: float = 2.0,
+    tau: float = 0.05,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Value-dependent stage of the factorized IDW, gathering candidates
+    directly from the dense field (see factored_apply_gauges for the
+    gauge-table fast path)."""
+    D, H, W = values_dhw.shape
+    HW = H * W
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    dz2 = jnp.asarray(frame_dz2_np(D))
+
+    vals2d = values_dhw.reshape(D, HW)
     cvals = jnp.transpose(vals2d[:, gpix], (1, 0, 2)).reshape(HW, D * k)
 
     if use_pallas:

@@ -8,6 +8,7 @@ repeat-interleave duplication) so checkpoints import 1:1.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import flax.linen as nn
@@ -269,23 +270,21 @@ class InputBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array,
                  prepared=None) -> jax.Array:
-        from .idw import extract_points, idw_3d_factored, idw_3d_knn
+        from .idw import extract_points, idw_3d_knn
 
         B, H, W, D = x.shape
-        h = x.reshape(B * H * W, 1, D)
-        for i in range(self.depth):
-            h = AttentionBlock(D, name=f"att{i}")(h)
-        h = h.reshape(B, H, W, D)
-
-        # to (B, D, H, W) for the grid ordering (z=t major)
-        vals_dhw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
-        mask_dhw = jnp.transpose(mask, (0, 3, 1, 2))
 
         if self.factored:
-            # mask is constant across frames: use the factorized exact k-NN
-            from .idw import factored_apply, factored_prepare
+            # mask is constant across frames: factorized exact k-NN. The
+            # attention gate is per-pixel and the IDW only ever reads values
+            # AT gauge pixels (reference layer.py:340-344 gathers values at
+            # nonzero points), so gather the G gauge columns FIRST and run
+            # attention on (B*G, D) instead of (B*H*W, D) — ~HW/G less work
+            # and candidates then gather from a tiny (D, G) table.
+            from .idw import factored_apply_gauges, factored_prepare_full
 
             max_gauges = self.gauge_budget(self.max_points, D)
+            x_pix = x.reshape(B, H * W, D)
 
             if self.shared_batch_mask:
                 # every sample shares one spatial mask (stis gauge files /
@@ -295,19 +294,43 @@ class InputBlock(nn.Module):
                 # (P2IGenerator.prepare_idw), since it is a constant of the
                 # mask, not of the values
                 if prepared is not None:
-                    gd2, gpix = prepared
+                    gd2, gsel, gauge_pix = prepared
                 else:
-                    gd2, gpix = factored_prepare(mask_dhw[0, 0], max_gauges,
-                                                 k=self.k)
-                out = jax.vmap(lambda v: factored_apply(
-                    gd2, gpix, v, k=self.k, rho=self.rho, tau=self.tau))(vals_dhw)
+                    gd2, gsel, gauge_pix = factored_prepare_full(
+                        mask[0, :, :, 0], max_gauges, k=self.k)
+                gvals = x_pix[:, gauge_pix, :]          # (B, G, D)
+                gd2_b = gsel_b = None
             else:
-                def one(m, v):
-                    return idw_3d_factored(m[0], v, max_gauges, k=self.k,
-                                           rho=self.rho, tau=self.tau)
+                prep = jax.vmap(lambda m: factored_prepare_full(
+                    m, max_gauges, k=self.k))(mask[:, :, :, 0])
+                gd2_b, gsel_b, gauge_pix_b = prep
+                gvals = jnp.take_along_axis(
+                    x_pix, gauge_pix_b[:, :, None], axis=1)  # (B, G, D)
 
-                out = jax.vmap(one)(mask_dhw, vals_dhw)
+            G = gvals.shape[1]
+            h = gvals.reshape(B * G, 1, D)
+            for i in range(self.depth):
+                h = AttentionBlock(D, name=f"att{i}")(h)
+            vals_g = jnp.transpose(h.reshape(B, G, D),
+                                   (0, 2, 1)).astype(jnp.float32)  # (B, D, G)
+
+            apply_one = functools.partial(factored_apply_gauges,
+                                          out_hw=(H, W), k=self.k,
+                                          rho=self.rho, tau=self.tau)
+            if self.shared_batch_mask:
+                out = jax.vmap(lambda v: apply_one(gd2, gsel, v))(vals_g)
+            else:
+                out = jax.vmap(apply_one)(gd2_b, gsel_b, vals_g)
             return jnp.transpose(out, (0, 2, 3, 1))
+
+        h = x.reshape(B * H * W, 1, D)
+        for i in range(self.depth):
+            h = AttentionBlock(D, name=f"att{i}")(h)
+        h = h.reshape(B, H, W, D)
+
+        # to (B, D, H, W) for the grid ordering (z=t major)
+        vals_dhw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
+        mask_dhw = jnp.transpose(mask, (0, 3, 1, 2))
 
         use_pallas = self.use_pallas
         if use_pallas is None:

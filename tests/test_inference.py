@@ -128,6 +128,7 @@ def test_run_inference_batched_events_matches_sequential(tmp_path, monkeypatch):
         np.testing.assert_allclose(gs[k][:], gb[k][:], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_flattened_batch_program_matches_sequential():
     """The flattened multi-event program (shared gauge mask, hoisted prep)
     and the vmap fallback (distinct masks) both match per-event calls."""

@@ -94,6 +94,7 @@ def test_decode_normalize_mask(rng):
                                (u8.astype(np.float32) / 255.0) * mask, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_factored_combine_frame_pruning_matches_full(rng):
     """The kernel's static per-z frame pruning must be exact incl. tie-rich
     cases: D=16 frame-constant masks produce symmetric +-z distance ties at

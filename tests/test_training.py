@@ -138,6 +138,7 @@ def test_p2igan_gan_step(data_root, monkeypatch):
     assert np.isfinite(u).all()
 
 
+@pytest.mark.slow
 def test_device_decode_pipeline_matches_host(data_root, monkeypatch):
     """data.train.device_decode=1 ships uint8 (video, mask) pairs and decodes
     on device; losses must match the host float pipeline exactly (same IEEE

@@ -64,6 +64,7 @@ class Trainer:
         self.use_gan = bool(cfg["loss"].get("use_gan", 0))
         self.generator = build_generator(cfg)
         self.discriminator = build_discriminator(cfg) if self.use_gan else None
+        self._check_window_length()
 
         opt_cfg = cfg["train"]["optimizer"]
         self.opt_g = make_optimizer(opt_cfg)
@@ -113,6 +114,30 @@ class Trainer:
         self.profile_steps = int(train_cfg.get("profile_steps", 3))
         self._profiling = False
         self._decode_fn = None
+
+    # ------------------------------------------------------------------
+    def _check_window_length(self) -> None:
+        """Fail fast with a NAMED error when the train zarr's window length
+        cannot feed a fixed-length generator. Both this framework and the
+        reference read the index row's length regardless of sample_length
+        (sti_dataset.py:286-307); a mismatch otherwise surfaces as an
+        obscure parameter-shape error deep inside the model."""
+        model_len = getattr(self.generator, "length", None)
+        if not model_len or self.train_loader is None:
+            return
+        ds = self.train_loader.dataset
+        ds = getattr(ds, "dataset", ds)  # unwrap the split Subset
+        index = getattr(ds, "index_arr", None)
+        if index is None:
+            return
+        lengths = set(int(v) for v in np.unique(index[:, 2]))
+        if lengths - {int(model_len)}:
+            raise ValueError(
+                f"train zarr windows have length(s) {sorted(lengths)} but the "
+                f"'{self.cfg.get('model', {}).get('name')}' generator expects "
+                f"sample_length={model_len}; rebuild the train store with a "
+                f"matching window (scripts/preprocess.py) or set "
+                f"data.train.sample_length to the store's window length.")
 
     # ------------------------------------------------------------------
     def _example_batch(self):

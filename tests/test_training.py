@@ -156,3 +156,14 @@ def test_device_decode_pipeline_matches_host(data_root, monkeypatch):
         tr.train()
         losses[decode] = tr.last_rec_loss
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+
+
+def test_window_length_mismatch_fails_fast(tmp_path, monkeypatch):
+    """p2igan with sample_length != the train zarr's window length must raise
+    a named config error instead of a deep flax shape error."""
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    fake.write_train_zarr(tmp_path / "train.zarr", n_events=1, T=12, H=32,
+                          W=32, window=6, stride=3, seed=0)
+    cfg = _cfg(tmp_path, model="p2igan", use_gan=0, base=16, t=4, hw=32)
+    with pytest.raises(ValueError, match="window"):
+        Trainer(cfg)

@@ -163,8 +163,14 @@ class P2IGenerator(nn.Module):
                        name="input")(x_in, m_in, prepared=idw_prepared)
         x = x.astype(self.compute_dtype)
 
+        # eval path fuses the grouped conv + repeat-interleave(4) skip into
+        # one dense conv (identity taps in the kernel); training keeps the
+        # factored composition + explicit skip
+        fuse_in = self.inference and base == 4 * t * c
         x_ = BasicConvDO(t * c, base, 3, relu=False, groups=4, factored=factored,
-                         name="Convsin_0")(x) + jnp.repeat(x, 4, axis=-1)
+                         fuse_repeat_skip=fuse_in, name="Convsin_0")(x)
+        if not fuse_in:
+            x_ = x_ + jnp.repeat(x, 4, axis=-1)
         x_2 = downsample_duplicate_channels(x_, t)        # (H/2, 2*base)
         x_4 = downsample_duplicate_channels(x_2, t)       # (H/4, 4*base)
         x_8 = downsample_duplicate_channels(x_4, t)       # (H/8, 8*base)

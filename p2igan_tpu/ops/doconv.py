@@ -106,6 +106,11 @@ class DOConv2d(nn.Module):
     use_bias: bool = False
     D_mul: Optional[int] = None
     factored: bool = True
+    # eval-only fusion: expand the grouped kernel to a block-diagonal dense
+    # one and add identity taps realizing `+ repeat_interleave(x, out/in)` —
+    # XLA's grouped-conv + repeat lowering at this shape costs ~2 ms/event in
+    # 5D layout copies (PROFILE.md); one dense 3x3 conv replaces all of it
+    fuse_repeat_skip: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -148,6 +153,21 @@ class DOConv2d(nn.Module):
                 (self.out_channels,),
             )
 
+        groups = self.groups
+        if (self.fuse_repeat_skip and not self.factored
+                and self.out_channels % self.in_channels == 0):
+            in_ch, out_ch = self.in_channels, self.out_channels
+            in_g, out_g = in_ch // groups, out_ch // groups
+            dense = jnp.zeros((M, N, in_ch, out_ch), kernel.dtype)
+            for g in range(groups):
+                dense = dense.at[:, :, g * in_g:(g + 1) * in_g,
+                                 g * out_g:(g + 1) * out_g].set(
+                    kernel[:, :, :, g * out_g:(g + 1) * out_g])
+            r = out_ch // in_ch
+            o_idx = jnp.arange(out_ch)
+            dense = dense.at[M // 2, N // 2, o_idx // r, o_idx].add(1.0)
+            kernel, groups = dense, 1
+
         kernel = kernel.astype(x.dtype)
         return conv2d(x, kernel, stride=self.stride, padding=self.padding,
-                      groups=self.groups, bias=bias)
+                      groups=groups, bias=bias)

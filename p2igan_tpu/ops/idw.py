@@ -230,19 +230,20 @@ def factored_apply_gauges(
     # be in its pixel's top-k gauges (same-frame domination argument)
     dz2 = jnp.asarray(frame_dz2_np(D))  # (D query z, D frames)
 
+    if use_pallas:
+        # candidate values gather IN-KERNEL from the (D, G) table via one-hot
+        # matmuls — no (HW, D*k) tensor ever touches HBM
+        from .pallas.idw_factored_kernel import combine_table_with_vjp
+
+        out = combine_table_with_vjp(jnp.transpose(gd2), jnp.transpose(gsel),
+                                     gauge_vals, dz2, k, D, rho, tau)
+        return out.reshape(D, H, W)
+
     # FRAME-MAJOR candidate layout (HW, D, k): candidate index = f*k + slot is
     # lexicographic in (frame, pixel) because gauge slots ascend in pixel
     # order — so argmin's lowest-index tie-break IS the reference's flat
     # (t-major) nonzero order; no explicit tie handling needed.
     cvals = jnp.transpose(gauge_vals[:, gsel], (1, 0, 2)).reshape(HW, D * k)
-
-    if use_pallas:
-        from .pallas.idw_factored_kernel import combine_with_vjp
-
-        out = combine_with_vjp(jnp.transpose(gd2), jnp.transpose(cvals), dz2,
-                               k, D, rho, tau)
-        return out.reshape(D, H, W)
-
     return _factored_combine_xla(gd2, cvals, dz2, k, rho, tau).reshape(D, H, W)
 
 

@@ -117,6 +117,7 @@ class BasicConvDO(nn.Module):
     relu: bool = True
     groups: int = 1
     factored: bool = True
+    fuse_repeat_skip: bool = False  # eval-only, see DOConv2d
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -124,7 +125,8 @@ class BasicConvDO(nn.Module):
         x = DOConv2d(
             self.in_channels, self.out_channels, kernel_size=self.kernel_size,
             stride=self.stride, padding=pad, groups=self.groups,
-            factored=self.factored, name="conv",
+            factored=self.factored, fuse_repeat_skip=self.fuse_repeat_skip,
+            name="conv",
         )(x)
         if self.relu:
             x = jax.nn.relu(x)

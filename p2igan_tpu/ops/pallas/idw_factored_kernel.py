@@ -151,6 +151,144 @@ def factored_combine_pallas(gd2_t: jax.Array,    # (k, HW) gauge dists^2
     return out[:, :HW]
 
 
+def _combine_table_kernel(gd2_ref, gsel_ref, table_ref, fd2_ref, out_ref, *,
+                          k: int, D: int, rho: float, tau: float, sel: tuple):
+    """Combine with IN-KERNEL candidate gather from the (D, G) gauge table.
+
+    gd2: (k, B); gsel: (k, B) int32 gauge-slot ids; table: (D, G) values at
+    gauges; fd2: (D, kf*k); out: (D, B). The per-pixel candidate values are
+    materialized as k one-hot (G, B) matmuls against the VMEM-resident table
+    (MXU work, ~0.3 GFLOP/window-batch) instead of an XLA gather that wrote
+    a (HW*k, WB, D) tensor through HBM (~1.8 ms/event in the trace:
+    fusion.391 + its relayout copy).
+    """
+    B = gd2_ref.shape[1]
+    kf = len(sel[0])
+    gd2 = gd2_ref[...]                       # (k, B)
+    gsel = gsel_ref[...]                     # (k, B) i32
+    table = table_ref[...]                   # (D, G)
+    G = table.shape[1]
+
+    giota = jax.lax.broadcasted_iota(jnp.int32, (G, B), 0)
+    slot_vals = []
+    for s in range(k):
+        onehot = (giota == gsel[s][None, :]).astype(table.dtype)  # (G, B)
+        slot_vals.append(jnp.dot(table, onehot,
+                                 preferred_element_type=jnp.float32))  # (D, B)
+    # frame-major candidate rows (f*k + s), as the flat nonzero order demands
+    cvals = jnp.stack(slot_vals, axis=1).reshape(D * k, B)
+
+    gd2_tiled = jnp.concatenate([gd2] * kf, axis=0)  # (kf*k, B)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kf * k, B), 0)
+    fd2 = fd2_ref[...]                       # (D, kf*k)
+
+    for z in range(D):
+        cv = jnp.concatenate(
+            [cvals[f * k:(f + 1) * k] for f in sel[z]], axis=0)
+        fz = fd2[z].reshape(kf * k, 1)
+        cd = jnp.sqrt(gd2_tiled + fz)
+        cd = jnp.where(cd < BIGD, cd, BIGD)
+        w_sum = jnp.zeros((B,), jnp.float32)
+        wv_sum = jnp.zeros((B,), jnp.float32)
+        for _ in range(k):
+            d_min = jnp.min(cd, axis=0)
+            idx = jnp.argmin(cd, axis=0)
+            hit = row == idx[None, :]
+            v = jnp.sum(jnp.where(hit, cv, 0.0), axis=0)
+            if abs(rho - 2.0) < 1e-6:
+                invd = 1.0 / (d_min + tau)
+                w = invd * invd
+            else:
+                w = 1.0 / jnp.power(d_min + tau, rho)
+            w = jnp.where(d_min < BIGD, w, 0.0)
+            w_sum = w_sum + w
+            wv_sum = wv_sum + w * v
+            cd = jnp.where(hit, BIGD, cd)
+        out_ref[z, :] = wv_sum / (w_sum + 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "D", "rho", "tau",
+                                              "hw_block", "prune"))
+def factored_combine_table_pallas(gd2_t: jax.Array,   # (k, HW)
+                                  gsel_t: jax.Array,  # (k, HW) int32
+                                  table: jax.Array,   # (D, G)
+                                  dz2: jax.Array,     # (D, D)
+                                  k: int, D: int, rho: float = 2.0,
+                                  tau: float = 0.05, hw_block: int = 512,
+                                  prune: bool = True) -> jax.Array:
+    HW = gd2_t.shape[1]
+    G = table.shape[1]
+    HWp = -(-HW // hw_block) * hw_block
+    if HWp != HW:
+        gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
+        gsel_t = jnp.pad(gsel_t, ((0, 0), (0, HWp - HW)))
+    if prune:
+        sel, kf = _frame_selection(D, k)
+    else:
+        sel = np.tile(np.arange(D, dtype=np.int32), (D, 1))
+        kf = D
+    dz2 = jnp.repeat(jnp.take_along_axis(dz2, jnp.asarray(sel), axis=1),
+                     k, axis=1)
+
+    out = pl.pallas_call(
+        functools.partial(_combine_table_kernel, k=k, D=D, rho=rho, tau=tau,
+                          sel=tuple(tuple(int(f) for f in row) for row in sel)),
+        grid=(HWp // hw_block,),
+        in_specs=[
+            pl.BlockSpec((k, hw_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, hw_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, G), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, kf * k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((D, hw_block), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, HWp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=D * HWp * kf * k * 8 + HWp * k * G * D * 2,
+            bytes_accessed=4 * HWp * (2 * k + D) + 4 * D * G,
+            transcendentals=D * HWp * k,
+        ),
+    )(gd2_t, gsel_t, table, dz2)
+    return out[:, :HW]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def combine_table_with_vjp(gd2_t, gsel_t, table, dz2, k, D, rho, tau):
+    """Table-gather Pallas forward; backward via the XLA combine composed
+    with the gather (table grads scatter back through jnp.take)."""
+    return factored_combine_table_pallas(gd2_t, gsel_t, table, dz2, k=k, D=D,
+                                         rho=rho, tau=tau)
+
+
+def _table_fwd(gd2_t, gsel_t, table, dz2, k, D, rho, tau):
+    out = factored_combine_table_pallas(gd2_t, gsel_t, table, dz2, k=k, D=D,
+                                        rho=rho, tau=tau)
+    return out, (gd2_t, gsel_t, table, dz2)
+
+
+def _table_bwd(k, D, rho, tau, residuals, g):
+    from ..idw import _factored_combine_xla
+
+    gd2_t, gsel_t, table, dz2 = residuals
+    gsel = jnp.transpose(gsel_t)  # (HW, k)
+
+    def f(gd2_tr, tbl, dz):
+        cvals = jnp.transpose(tbl[:, gsel], (1, 0, 2)).reshape(
+            gsel.shape[0], D * k)
+        return _factored_combine_xla(jnp.transpose(gd2_tr), cvals, dz, k, rho,
+                                     tau)
+
+    _, vjp = jax.vjp(f, gd2_t, table, dz2)
+    d_gd2, d_table, d_dz2 = vjp(g)
+    d_gsel = np.zeros(gsel_t.shape, jax.dtypes.float0)
+    return d_gd2, d_gsel, d_table, d_dz2
+
+
+combine_table_with_vjp.defvjp(_table_fwd, _table_bwd)
+
+
 def _gauge_topk_kernel(qx_ref, qy_ref, gx_ref, gy_ref, pen_ref,
                        gd2_ref, gsel_ref, *, k: int):
     """Per-pixel gauge distances + top-k extraction in VMEM.

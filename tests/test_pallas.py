@@ -151,3 +151,35 @@ def test_frame_selection_is_exact_prune():
             top = np.argsort(flat, kind="stable")[:k]   # ref tie-break
             frames_used = set(int(t) // k for t in top)
             assert frames_used <= set(int(f) for f in sel[z]), (z, frames_used)
+
+
+def test_combine_table_kernel_matches_gather_path(rng):
+    """The in-kernel one-hot table gather must equal the explicit XLA gather
+    + combine, including gradients through the table."""
+    from p2igan_tpu.ops import idw as IDW
+
+    D, H, W = 16, 16, 16
+    flat = np.zeros((H * W,), np.float32)
+    flat[rng.choice(H * W, 13, replace=False)] = 1.0
+    mask_xy = jnp.asarray(flat.reshape(H, W))
+    gd2, gsel, gpix = IDW.factored_prepare_full(mask_xy, 128, k=4,
+                                                use_pallas=True)
+    table = jnp.asarray(rng.normal(size=(D, 128)).astype(np.float32))
+
+    want = np.asarray(IDW.factored_apply_gauges(gd2, gsel, table, (H, W),
+                                                use_pallas=False))
+    got = np.asarray(IDW.factored_apply_gauges(gd2, gsel, table, (H, W),
+                                               use_pallas=True))
+    diff = np.abs(got - want)
+    assert np.median(diff) < 1e-6
+    assert (diff > 1e-4).mean() < 0.03  # interpret-vs-XLA fma tie flips only
+
+    def loss(tbl, pallas):
+        return jnp.sum(IDW.factored_apply_gauges(gd2, gsel, tbl, (H, W),
+                                                 use_pallas=pallas) ** 2)
+
+    g_ref = np.asarray(jax.grad(lambda t: loss(t, False))(table))
+    g_out = np.asarray(jax.grad(lambda t: loss(t, True))(table))
+    gdiff = np.abs(g_ref - g_out)
+    assert np.median(gdiff) < 1e-5
+    assert (gdiff > 1e-3).mean() < 0.03

@@ -174,21 +174,29 @@ class ResBlockDOFFT(nn.Module):
         return z + x + y
 
 
-def downsample_duplicate_channels(x: jax.Array, length: int) -> jax.Array:
+def downsample_duplicate_channels(x: jax.Array, length: int,
+                                  use_pallas: Optional[bool] = None) -> jax.Array:
     """Maxpool-2 + per-frame channel duplication keeping the T grouping.
 
     Reference DownsampleDuplicateChannels (layer.py:200-214): channels are
     grouped as [t, c/t]; after pooling, each channel within a frame group is
     duplicated consecutively, doubling C. x: (B, H, W, C) with C % length == 0.
+    Duplicating each channel consecutively == the reference's per-frame group
+    duplication (groups are contiguous). On TPU a fused Pallas kernel does the
+    pool + interleave-duplicate in one VMEM pass (ops/pallas/pool_dup.py).
     """
     B, H, W, C = x.shape
     if C % length != 0:
         raise ValueError(f"channels {C} must be divisible by {length}")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and H % 2 == 0 and W % 2 == 0 and x.dtype == jnp.float32:
+        from .pallas.pool_dup import maxpool2_duplicate
+
+        return maxpool2_duplicate(x)
     x = max_pool2d(x, 2, 2)
-    # duplicating each channel consecutively == the reference's per-frame
-    # group duplication (groups are contiguous); the concat formulation is
-    # 2.6x faster on TPU than jnp.repeat on a 5D view (scripts/tune_infer.py,
-    # bit-equal outputs)
+    # concat formulation: 2.6x faster than jnp.repeat on a 5D view
+    # (scripts/tune_infer.py, bit-equal outputs)
     x = x.reshape(B, H // 2, W // 2, C, 1)
     x = jnp.concatenate([x, x], axis=-1)
     return x.reshape(B, H // 2, W // 2, C * 2)

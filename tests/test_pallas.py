@@ -183,3 +183,21 @@ def test_combine_table_kernel_matches_gather_path(rng):
     gdiff = np.abs(g_ref - g_out)
     assert np.median(gdiff) < 1e-5
     assert (gdiff > 1e-3).mean() < 0.03
+
+
+def test_pool_dup_kernel_matches_xla(rng):
+    from p2igan_tpu.ops.layers import downsample_duplicate_channels
+    from p2igan_tpu.ops.pallas.pool_dup import maxpool2_duplicate
+
+    for (b, h, w, c) in [(2, 16, 16, 8), (1, 32, 8, 16), (3, 8, 128, 4)]:
+        x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        want = np.asarray(downsample_duplicate_channels(x, 4, use_pallas=False))
+        got = np.asarray(maxpool2_duplicate(x))
+        np.testing.assert_array_equal(got, want)
+
+    # gradient path (max-pool subgradient via the XLA vjp)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    g_ref = jax.grad(lambda v: jnp.sum(
+        downsample_duplicate_channels(v, 4, use_pallas=False) ** 2))(x)
+    g_out = jax.grad(lambda v: jnp.sum(maxpool2_duplicate(v) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-6)

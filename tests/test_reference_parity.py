@@ -138,6 +138,14 @@ def test_p2igan_generator_forward_parity_exact(ref):
     got = np.transpose(got, (0, 1, 4, 2, 3))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
 
+    # the folded serving variant (plain kernels + fused Convsin/repeat skip)
+    # must match the same oracle
+    gen_eval, folded = gen.fold_for_inference(variables)
+    got_f = np.asarray(gen_eval.apply(folded, jnp.asarray(masked),
+                                      jnp.asarray(masks)))
+    got_f = np.transpose(got_f, (0, 1, 4, 2, 3))
+    np.testing.assert_allclose(got_f, want, atol=2e-4, rtol=0)
+
 
 def test_idw_op_parity_clean_cells(ref):
     """idw_3d_knn vs the executed reference: tight parity wherever the

@@ -256,6 +256,80 @@ class SlidingWindowReconstructor:
 
         return reconstruct
 
+    def _build_sharded_multi(self, T: int, E: int, mesh) -> Callable:
+        """E equal-length events over a device mesh: ALL events' windows
+        flatten into one stream sharded over the ``data`` axis (the
+        multi-chip serving path — event x window parallelism in one program;
+        GSPMD inserts the overlap-average reduction)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stride, step = self.stride, self.step
+        n_dev = int(np.prod(mesh.devices.shape))
+        starts = np.arange(0, T, step, dtype=np.int32)
+        n_win = len(starts)
+        n_all = _round_up(E * n_win, n_dev)
+        ev = np.repeat(np.arange(E, dtype=np.int32), n_win)
+        st = np.tile(starts, E)
+        ev = np.concatenate([ev, np.zeros(n_all - E * n_win, np.int32)])
+        st = np.concatenate([st, np.full(n_all - E * n_win, T, np.int32)])
+        frame = np.minimum(st[:, None] + np.arange(stride)[None, :], T - 1)
+        win_idx = ev[:, None] * T + frame
+        tgt = st[:, None] + np.arange(stride)[None, :]
+        tgt = np.where((tgt < T) & (st[:, None] < T), tgt, T)
+        tgt = (ev[:, None] * (T + 1) + tgt).astype(np.int32)
+
+        variables = self.variables
+        gen = self.generator
+        scale = self.output_scale
+        shard = NamedSharding(mesh, P("data"))
+        use_prep = self._supports_prepared_idw()
+
+        @jax.jit
+        def reconstruct(masked: jax.Array, masks: jax.Array) -> jax.Array:
+            H, W, C = masked.shape[2:]
+            flat_m = masked.reshape(E * T, H, W, C)
+            flat_k = masks.reshape(E * T, H, W, C)
+            prep = gen.prepare_idw(masks[0, 0, :, :, 0]) if use_prep else None
+            wm = jax.lax.with_sharding_constraint(
+                flat_m[jnp.asarray(win_idx)], shard)
+            wk = jax.lax.with_sharding_constraint(
+                flat_k[jnp.asarray(win_idx)], shard)
+            if use_prep:
+                preds = gen.apply(variables, wm, wk, idw_prepared=prep)
+            else:
+                preds = gen.apply(variables, wm, wk)
+            preds = preds.astype(jnp.float32)
+            flat_seg = jnp.asarray(tgt).reshape(-1)
+            accum = jnp.zeros((E * (T + 1), H, W, C), jnp.float32)
+            accum = accum.at[flat_seg].add(preds.reshape(-1, H, W, C))
+            count = jnp.zeros((E * (T + 1),), jnp.float32).at[flat_seg].add(
+                jnp.where(flat_seg % (T + 1) < T, 1.0, 0.0))
+            comp = accum.reshape(E, T + 1, H, W, C)[:, :T]
+            cnt = count.reshape(E, T + 1)[:, :T]
+            comp = comp / jnp.maximum(cnt[..., None, None, None], 1e-5)
+            return jnp.clip(comp * scale, 0.0, None)
+
+        return reconstruct
+
+    def sharded_batch(self, masked: np.ndarray, masks: np.ndarray,
+                      mesh) -> np.ndarray:
+        """Event+window-parallel reconstruction of an equal-length event
+        batch over a device mesh."""
+        E, T = masked.shape[:2]
+        Tb = _round_up(max(T, self.stride), self.t_bucket)
+        if Tb != T:
+            pad = np.repeat(masked[:, -1:], Tb - T, axis=1)
+            masked = np.concatenate([masked, pad], axis=1)
+            masks = np.concatenate(
+                [masks, np.repeat(masks[:, -1:], Tb - T, axis=1)], axis=1)
+        key = ("sharded_batch", Tb, E, id(mesh))
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = self._build_sharded_multi(Tb, E, mesh)
+            self._compiled[key] = fn
+        out = np.asarray(fn(jnp.asarray(masked), jnp.asarray(masks)))
+        return out[:, :T]
+
     def sharded(self, masked: np.ndarray, masks: np.ndarray, mesh) -> np.ndarray:
         """Window-parallel event reconstruction over a device mesh."""
         T = masked.shape[0]

@@ -126,3 +126,36 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+@pytest.mark.slow
+def test_sharded_batch_matches_single_device():
+    """Event+window-parallel batch reconstruction over the 8-device mesh
+    equals per-event single-device reconstruction."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.inference.driver import SlidingWindowReconstructor
+    from p2igan_tpu.models import P2IGenerator
+    from p2igan_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(3)
+    hw, t, ev_t = 16, 4, 8
+    gen = P2IGenerator(H=hw, W=hw, length=t, num_res=1, base_channels=16,
+                       idw_max_points=128, idw_chunk=256,
+                       idw_factored=True, idw_shared_batch_mask=True)
+    flat = np.zeros((hw * hw,), np.float32)
+    flat[rng.choice(hw * hw, 11, replace=False)] = 1.0
+    masks = np.broadcast_to(flat.reshape(1, 1, hw, hw, 1),
+                            (2, ev_t, hw, hw, 1)).astype(np.float32)
+    frames = rng.random((2, ev_t, hw, hw, 1)).astype(np.float32)
+    masked = frames * masks
+    variables = gen.init(jax.random.key(0), jnp.asarray(masked[:, :t]),
+                         jnp.asarray(masks[:, :t]))
+
+    recon = SlidingWindowReconstructor(gen, variables, stride=t, overlap=1,
+                                       window_batch=2, t_bucket=ev_t)
+    want = np.stack([recon(masked[e], masks[e]) for e in range(2)])
+    mesh = create_mesh(("data",))
+    got = recon.sharded_batch(masked, masks, mesh)
+    np.testing.assert_allclose(got, want, atol=1e-3)

@@ -59,6 +59,8 @@ def stage_timings():
         rng.random((WB, T, H, W, 1)), np.float32) * gauge
     variables = gen.init(jax.random.key(0), jnp.asarray(masked),
                          jnp.asarray(gauge))
+    # serving path: folded DOConv kernels, as bench.py / run_inference
+    gen, variables = gen.fold_for_inference(variables)
     masked_d = jnp.asarray(masked)
     gauge_d = jnp.asarray(gauge)
 
@@ -94,6 +96,16 @@ def stage_timings():
     comb = jax.jit(lambda v: jax.vmap(
         lambda x: factored_apply(gd2, gpix, x, k=4))(v))
     rows["factored_apply (IDW combine, 8 windows)"] = _timeit(comb, vals)
+
+    # gauge-table combine (the shipping path: candidates from the (D, G) table)
+    from p2igan_tpu.ops.idw import factored_apply_gauges, factored_prepare_full
+
+    prep_full = jax.jit(lambda m: factored_prepare_full(m, 128, k=4))
+    gd2f, gself, gpixf = jax.block_until_ready(prep_full(mask_xy))
+    gvals = jnp.asarray(rng.random((WB, T, 128)), jnp.float32)
+    combg = jax.jit(lambda v: jax.vmap(lambda x: factored_apply_gauges(
+        gd2f, gself, x, (H, W), k=4))(v))
+    rows["factored_apply_gauges (table combine, 8 windows)"] = _timeit(combg, gvals)
 
     # full event program
     recon = SlidingWindowReconstructor(gen, variables, stride=16, overlap=12,

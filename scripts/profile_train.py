@@ -59,11 +59,11 @@ def main() -> None:
                                k1_alpha=0.05, donate=False)
 
     state, metrics = step_fn(state, frames, masked, masks)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready((state, metrics))
     t0 = time.time()
     for _ in range(5):
         state, metrics = step_fn(state, frames, masked, masks)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready((state, metrics))
     ms = (time.time() - t0) / 5 * 1e3
 
     with jax.profiler.trace(args.trace_dir):

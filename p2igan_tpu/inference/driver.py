@@ -465,6 +465,15 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
     recon = SlidingWindowReconstructor(
         generator, variables, stride=stride, overlap=overlap,
         window_batch=window_batch, output_scale=output_scale)
+    mesh = None
+    if batch_events > 1 and len(jax.devices()) > 1:
+        # multi-chip serving: event batches shard their flattened window
+        # stream over the mesh data axis
+        from ..parallel.mesh import create_mesh
+
+        mesh = create_mesh(("data",))
+        logging.info("Sharding event batches over %d devices",
+                     int(np.prod(mesh.devices.shape)))
 
     passes = max(1, int(passes))
     log_every = max(1, int(log_every))
@@ -508,7 +517,8 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
 
                 ms = np.stack([pad_t(m) for _, m, _ in items])
                 ks = np.stack([pad_t(k) for _, _, k in items])
-                comps = recon.batch(ms, ks)
+                comps = (recon.sharded_batch(ms, ks, mesh) if mesh is not None
+                         else recon.batch(ms, ks))
                 for (idx, m, _), comp in zip(items, comps):
                     write_event(pass_idx, idx, comp[:m.shape[0]])
             offset += len(items)

@@ -111,6 +111,12 @@ class DOConv2d(nn.Module):
     # XLA's grouped-conv + repeat lowering at this shape costs ~2 ms/event in
     # 5D layout copies (PROFILE.md); one dense 3x3 conv replaces all of it
     fuse_repeat_skip: bool = False
+    # eval-only: expand a grouped kernel to block-diagonal dense WITHOUT the
+    # repeat skip. XLA lowers grouped convs at (B,128,128,C) through 5D
+    # (groups, C/g) layouts — the grouped 1x1 ConvsOut costs 1.2 ms/event in
+    # relayout copies + tiny-tile conv (PROFILE.md per-op trace); the dense
+    # expansion is numerically identical (off-block zeros contribute exact 0)
+    dense_groups: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -154,8 +160,10 @@ class DOConv2d(nn.Module):
             )
 
         groups = self.groups
-        if (self.fuse_repeat_skip and not self.factored
-                and self.out_channels % self.in_channels == 0):
+        fuse_skip = (self.fuse_repeat_skip and not self.factored
+                     and self.out_channels % self.in_channels == 0)
+        if groups > 1 and (fuse_skip
+                           or (self.dense_groups and not self.factored)):
             in_ch, out_ch = self.in_channels, self.out_channels
             in_g, out_g = in_ch // groups, out_ch // groups
             dense = jnp.zeros((M, N, in_ch, out_ch), kernel.dtype)
@@ -163,9 +171,10 @@ class DOConv2d(nn.Module):
                 dense = dense.at[:, :, g * in_g:(g + 1) * in_g,
                                  g * out_g:(g + 1) * out_g].set(
                     kernel[:, :, :, g * out_g:(g + 1) * out_g])
-            r = out_ch // in_ch
-            o_idx = jnp.arange(out_ch)
-            dense = dense.at[M // 2, N // 2, o_idx // r, o_idx].add(1.0)
+            if fuse_skip:
+                r = out_ch // in_ch
+                o_idx = jnp.arange(out_ch)
+                dense = dense.at[M // 2, N // 2, o_idx // r, o_idx].add(1.0)
             kernel, groups = dense, 1
 
         kernel = kernel.astype(x.dtype)

@@ -118,6 +118,7 @@ class BasicConvDO(nn.Module):
     groups: int = 1
     factored: bool = True
     fuse_repeat_skip: bool = False  # eval-only, see DOConv2d
+    dense_groups: bool = False      # eval-only, see DOConv2d
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -126,6 +127,7 @@ class BasicConvDO(nn.Module):
             self.in_channels, self.out_channels, kernel_size=self.kernel_size,
             stride=self.stride, padding=pad, groups=self.groups,
             factored=self.factored, fuse_repeat_skip=self.fuse_repeat_skip,
+            dense_groups=self.dense_groups,
             name="conv",
         )(x)
         if self.relu:

@@ -16,3 +16,33 @@ Layer map (mirrors reference SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_jax_platforms_env() -> None:
+    """Re-apply ``JAX_PLATFORMS`` if a site hook already imported jax.
+
+    Some environments pre-import jax from ``sitecustomize`` (registering a
+    TPU plugin) before any user code runs; by then the env var has been
+    read and ``JAX_PLATFORMS=cpu python scripts/train.py`` silently still
+    targets the TPU. If jax is already imported and its configured
+    platforms disagree with the env var, reconcile them — this runs at
+    package import, before any computation has been traced.
+    """
+    import os
+    import sys
+
+    want = os.environ.get("JAX_PLATFORMS")
+    jax = sys.modules.get("jax")
+    if not want or jax is None:
+        return
+    try:
+        have = jax.config.jax_platforms or ""
+        # the hook sets e.g. 'axon,cpu'; only the preferred (first) entry
+        # matters — respect the env var's preference
+        if have.split(",")[0] != want.split(",")[0]:
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
+_honor_jax_platforms_env()

@@ -115,6 +115,7 @@ def build_train_step(
     gan_fake_label: float = 0.0,
     donate: bool = True,
     single_forward: bool = True,
+    fused_disc_forward: bool = True,
 ) -> Callable[[TrainState, jax.Array, jax.Array, jax.Array],
               Tuple[TrainState, Dict[str, jax.Array]]]:
     gen_apply = _gen_apply_factory(gen)
@@ -123,11 +124,31 @@ def build_train_step(
                              target_real_label=gan_real_label,
                              target_fake_label=gan_fake_label)
 
+    # Fused D step: fake+real concatenated into ONE forward (conv on the
+    # stacked batch == stacked conv outputs, verified exactly in
+    # tests/test_training.py), so XLA builds one fwd/bwd chain at batch 2B
+    # instead of two at batch B. Trade-off vs the reference cadence
+    # (train.py:270-276, one power iteration per forward): the spectral-norm
+    # u vectors advance once per D step instead of twice, and both halves see
+    # the same u. Power iteration converges geometrically, so the estimate
+    # trails by at most one step; `fused_disc_forward=False` restores the
+    # reference's exact two-forward cadence. Fused is skipped for
+    # BatchNorm discriminators (SimpleDiscriminator), where concatenation
+    # would mix fake/real batch statistics.
+    from ..models import SimpleDiscriminator
+    fuse_d = fused_disc_forward and not isinstance(disc, SimpleDiscriminator)
+
     def _d_step(preds0, frames, disc_params, disc_extra, opt_d_state):
         """Discriminator update on detached preds (train.py:264-295)."""
         def d_loss_fn(p, extra):
-            logits_fake, extra = disc_apply(p, extra, preds0, True)
-            logits_real, extra = disc_apply(p, extra, frames, True)
+            if fuse_d:
+                b = preds0.shape[0]
+                logits, extra = disc_apply(
+                    p, extra, jnp.concatenate([preds0, frames], axis=0), True)
+                logits_fake, logits_real = logits[:b], logits[b:]
+            else:
+                logits_fake, extra = disc_apply(p, extra, preds0, True)
+                logits_real, extra = disc_apply(p, extra, frames, True)
             loss_d = (_gan(logits_real, True, is_disc=True)
                       + _gan(logits_fake, False, is_disc=True)) * 0.5
             return loss_d, extra

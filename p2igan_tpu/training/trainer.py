@@ -98,6 +98,9 @@ class Trainer:
             k1_alpha=self.k1_alpha,
             gan_real_label=cfg["loss"].get("target_real_label", 1.0),
             gan_fake_label=cfg["loss"].get("target_fake_label", 0.0),
+            # one concatenated fake+real D forward (see steps.py); set false
+            # to restore the reference's exact two-forward SN cadence
+            fused_disc_forward=bool(train_cfg.get("fused_disc_forward", True)),
         )
         self.eval_step = build_eval_step(self.generator, k1_alpha=self.k1_alpha)
         self.predict_fn = build_predict_fn(self.generator)

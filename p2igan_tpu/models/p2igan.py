@@ -168,7 +168,7 @@ class P2IGenerator(nn.Module):
         # factored composition + explicit skip
         fuse_in = self.inference and base == 4 * t * c
         x_ = BasicConvDO(t * c, base, 3, relu=False, groups=4, factored=factored,
-                         fuse_repeat_skip=fuse_in, dense_groups=self.inference,
+                         fuse_repeat_skip=fuse_in, dense_groups=True,
                          name="Convsin_0")(x)
         if not fuse_in:
             x_ = x_ + jnp.repeat(x, 4, axis=-1)
@@ -188,11 +188,11 @@ class P2IGenerator(nn.Module):
         res3 = UPPos(base * 2, base, self.H, self.W, name="UP_0")(res3)
 
         z = EBlock(base, self.num_res, factored, name="Decoder_0")(res3)
-        # eval: the grouped 1x1 head expands to block-diagonal dense — XLA's
+        # the grouped 1x1 head expands to block-diagonal dense — XLA's
         # grouped lowering at (B,128,128,64) costs ~1.2 ms/event in 5D
         # relayouts + a (4,4)-tile conv (PROFILE.md); exact same numbers
         z = BasicConvDO(base, t * c, 1, relu=False, groups=4, factored=factored,
-                        dense_groups=self.inference, name="ConvsOut_0")(z)
+                        dense_groups=True, name="ConvsOut_0")(z)
 
         out = jnp.tanh(z.astype(jnp.float32))  # (B,H,W,T*C)
         return jnp.transpose(out.reshape(b, h, w, t, c), (0, 3, 1, 2, 4))

@@ -111,11 +111,16 @@ class DOConv2d(nn.Module):
     # XLA's grouped-conv + repeat lowering at this shape costs ~2 ms/event in
     # 5D layout copies (PROFILE.md); one dense 3x3 conv replaces all of it
     fuse_repeat_skip: bool = False
-    # eval-only: expand a grouped kernel to block-diagonal dense WITHOUT the
-    # repeat skip. XLA lowers grouped convs at (B,128,128,C) through 5D
+    # expand a grouped kernel to block-diagonal dense WITHOUT the repeat
+    # skip. XLA lowers grouped convs at (B,128,128,C) through 5D
     # (groups, C/g) layouts — the grouped 1x1 ConvsOut costs 1.2 ms/event in
-    # relayout copies + tiny-tile conv (PROFILE.md per-op trace); the dense
-    # expansion is numerically identical (off-block zeros contribute exact 0)
+    # relayout copies + tiny-tile conv, and the grouped Convsin fwd/bwd
+    # keeps ~7 ms/step of 5D layout churn in training (PROFILE.md per-op
+    # traces); the dense expansion is numerically identical (off-block
+    # zeros contribute exact 0). Valid under autodiff too: the VJP of the
+    # block .set()s extracts exactly the on-block gradient slices, so
+    # W/D gradients match the grouped conv's (off-block dense-kernel
+    # gradients correspond to no parameter and are correctly dropped).
     dense_groups: bool = False
 
     @nn.compact
@@ -162,8 +167,7 @@ class DOConv2d(nn.Module):
         groups = self.groups
         fuse_skip = (self.fuse_repeat_skip and not self.factored
                      and self.out_channels % self.in_channels == 0)
-        if groups > 1 and (fuse_skip
-                           or (self.dense_groups and not self.factored)):
+        if groups > 1 and (fuse_skip or self.dense_groups):
             in_ch, out_ch = self.in_channels, self.out_channels
             in_g, out_g = in_ch // groups, out_ch // groups
             dense = jnp.zeros((M, N, in_ch, out_ch), kernel.dtype)

@@ -124,6 +124,7 @@ def test_single_forward_step_equivalence():
         s1.disc_params, s2.disc_params)
 
 
+@pytest.mark.slow
 def test_fused_disc_forward_equivalence():
     """Concatenated fake+real D forward == two separate forwards.
 

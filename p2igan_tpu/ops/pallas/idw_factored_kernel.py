@@ -254,10 +254,142 @@ def factored_combine_table_pallas(gd2_t: jax.Array,   # (k, HW)
     return out[:, :HW]
 
 
+def _combine_table_bwd_kernel(gd2_ref, gsel_ref, fd2_ref, g_ref, route_ref,
+                              dtab_ref, *, k: int, D: int, rho: float,
+                              tau: float, sel: tuple):
+    """d_table for one pixel block: (1, D, G) partial, summed outside.
+
+    The selection weights depend only on geometry (gd2/fd2), not on the
+    table values, so the backward needs no residual values: re-run the k
+    extraction rounds per query z collecting each candidate's SELECTED
+    weight, normalize by the final weight sum, multiply by the output
+    cotangent, route candidate rows to their frames with a static (D, kf)
+    0/1 matmul, and scatter to gauge columns with the same one-hot matmul
+    trick as the forward gather. Replaces an XLA backward that re-ran the
+    chunked combine VJP through HBM-resident (HW, D*k) candidate
+    cotangents + a (HW*k, D) scatter-add (~14 ms of a 70 ms GAN step,
+    PROFILE.md per-op trace).
+    """
+    B = gd2_ref.shape[1]
+    kf = len(sel[0])
+    gd2 = gd2_ref[...]                       # (k, B)
+    gsel = gsel_ref[...]                     # (k, B) i32
+    g = g_ref[...]                           # (D, B) cotangent
+    G = dtab_ref.shape[2]
+
+    gd2_tiled = jnp.concatenate([gd2] * kf, axis=0)  # (kf*k, B)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kf * k, B), 0)
+    fd2 = fd2_ref[...]                       # (D, kf*k)
+    route = route_ref[...]                   # (D, D, kf) 0/1 routing input
+
+    X = [jnp.zeros((D, B), jnp.float32) for _ in range(k)]  # per-slot routed
+    for z in range(D):
+        fz = fd2[z].reshape(kf * k, 1)
+        cd = jnp.sqrt(gd2_tiled + fz)
+        cd = jnp.where(cd < BIGD, cd, BIGD)
+        wsel = jnp.zeros((kf * k, B), jnp.float32)
+        w_sum = jnp.zeros((B,), jnp.float32)
+        for _ in range(k):
+            d_min = jnp.min(cd, axis=0)
+            idx = jnp.argmin(cd, axis=0)
+            hit = row == idx[None, :]
+            if abs(rho - 2.0) < 1e-6:
+                invd = 1.0 / (d_min + tau)
+                w = invd * invd
+            else:
+                w = 1.0 / jnp.power(d_min + tau, rho)
+            w = jnp.where(d_min < BIGD, w, 0.0)
+            w_sum = w_sum + w
+            wsel = wsel + jnp.where(hit, w[None, :], 0.0)
+            cd = jnp.where(hit, BIGD, cd)
+        wg = (wsel / (w_sum + 1e-12)[None, :]) * g[z][None, :]  # (kf*k, B)
+        wg = wg.reshape(kf, k, B)
+        rz = route[z]                        # (D, kf) 0/1
+        for s in range(k):
+            X[s] = X[s] + jax.lax.dot_general(
+                rz, wg[:, s, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    giota = jax.lax.broadcasted_iota(jnp.int32, (B, G), 1)
+    acc = jnp.zeros((D, G), jnp.float32)
+    for s in range(k):
+        onehot = (giota == gsel[s][:, None]).astype(jnp.float32)  # (B, G)
+        acc = acc + jax.lax.dot_general(X[s], onehot,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dtab_ref[0, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("G", "k", "D", "rho", "tau",
+                                              "hw_block", "prune"))
+def factored_combine_table_bwd_pallas(gd2_t: jax.Array,   # (k, HW)
+                                      gsel_t: jax.Array,  # (k, HW) int32
+                                      g: jax.Array,       # (D, HW) cotangent
+                                      dz2: jax.Array,     # (D, D)
+                                      G: int, k: int, D: int,
+                                      rho: float = 2.0, tau: float = 0.05,
+                                      hw_block: int = 512,
+                                      prune: bool = True) -> jax.Array:
+    """d_table (D, G) of ``factored_combine_table_pallas`` w.r.t. ``table``."""
+    HW = gd2_t.shape[1]
+    HWp = -(-HW // hw_block) * hw_block
+    if HWp != HW:
+        # padded pixels get weight 0 (gd2=inf) and cotangent 0 — no effect
+        gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
+        gsel_t = jnp.pad(gsel_t, ((0, 0), (0, HWp - HW)))
+        g = jnp.pad(g, ((0, 0), (0, HWp - HW)))
+    if prune:
+        sel, kf = _frame_selection(D, k)
+    else:
+        sel = np.tile(np.arange(D, dtype=np.int32), (D, 1))
+        kf = D
+    fd2 = jnp.repeat(jnp.take_along_axis(dz2, jnp.asarray(sel), axis=1),
+                     k, axis=1)
+    nblk = HWp // hw_block
+    # routing input: frame f of candidate row j*k+s under query z is sel[z][j]
+    route = np.zeros((D, D, kf), np.float32)
+    for z in range(D):
+        for j, f in enumerate(sel[z]):
+            route[z, int(f), j] = 1.0
+
+    parts = pl.pallas_call(
+        functools.partial(_combine_table_bwd_kernel, k=k, D=D, rho=rho,
+                          tau=tau,
+                          sel=tuple(tuple(int(f) for f in row) for row in sel)),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((k, hw_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, hw_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, kf * k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, hw_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D, kf), lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, D, G), lambda j: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk, D, G), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=D * HWp * kf * k * 8 + HWp * k * G * D * 2,
+            bytes_accessed=4 * HWp * (3 * k + D) + 4 * nblk * D * G,
+            transcendentals=D * HWp * k,
+        ),
+    )(gd2_t, gsel_t, fd2, g, jnp.asarray(route))
+    return jnp.sum(parts, axis=0)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def combine_table_with_vjp(gd2_t, gsel_t, table, dz2, k, D, rho, tau):
-    """Table-gather Pallas forward; backward via the XLA combine composed
-    with the gather (table grads scatter back through jnp.take)."""
+    """Table-gather Pallas forward; backward is a Pallas kernel producing
+    ``d_table`` directly (selection weights recomputed in VMEM — they
+    depend only on geometry). Gradients are defined w.r.t. ``table`` only:
+    ``gd2_t``/``dz2`` are squared distances of fixed pixel/gauge/frame
+    geometry, never on a differentiable path, and receive zero cotangents
+    (the old XLA backward computed real ``d_gd2``/``d_dz2`` chains that
+    XLA then dead-code-eliminated — at the cost of materializing
+    (HW, D*k) candidate cotangents in HBM first)."""
     return factored_combine_table_pallas(gd2_t, gsel_t, table, dz2, k=k, D=D,
                                          rho=rho, tau=tau)
 
@@ -269,19 +401,12 @@ def _table_fwd(gd2_t, gsel_t, table, dz2, k, D, rho, tau):
 
 
 def _table_bwd(k, D, rho, tau, residuals, g):
-    from ..idw import _factored_combine_xla
-
     gd2_t, gsel_t, table, dz2 = residuals
-    gsel = jnp.transpose(gsel_t)  # (HW, k)
-
-    def f(gd2_tr, tbl, dz):
-        cvals = jnp.transpose(tbl[:, gsel], (1, 0, 2)).reshape(
-            gsel.shape[0], D * k)
-        return _factored_combine_xla(jnp.transpose(gd2_tr), cvals, dz, k, rho,
-                                     tau)
-
-    _, vjp = jax.vjp(f, gd2_t, table, dz2)
-    d_gd2, d_table, d_dz2 = vjp(g)
+    d_table = factored_combine_table_bwd_pallas(gd2_t, gsel_t, g, dz2,
+                                                G=table.shape[1], k=k, D=D,
+                                                rho=rho, tau=tau)
+    d_gd2 = jnp.zeros_like(gd2_t)
+    d_dz2 = jnp.zeros_like(dz2)
     d_gsel = np.zeros(gsel_t.shape, jax.dtypes.float0)
     return d_gd2, d_gsel, d_table, d_dz2
 

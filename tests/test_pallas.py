@@ -185,6 +185,50 @@ def test_combine_table_kernel_matches_gather_path(rng):
     assert (gdiff > 1e-3).mean() < 0.03
 
 
+def test_combine_table_bwd_kernel(rng):
+    """The Pallas d_table backward vs the XLA combine's vjp, at a shape
+    whose HW is not a multiple of the 512 pixel block (padding path), plus
+    the linearity identity vs the Pallas forward itself (the combine is
+    exactly linear in the table because selection depends only on
+    geometry) — the identity holds even where compiled-XLA and Pallas
+    tie-breaks disagree."""
+    from p2igan_tpu.ops.pallas.idw_factored_kernel import (
+        combine_table_with_vjp, factored_combine_table_bwd_pallas)
+
+    D, H, W, G, k = 16, 24, 24, 128, 4
+    HW = H * W
+    flat = np.zeros((HW,), np.float32)
+    flat[rng.choice(HW, 31, replace=False)] = 1.0
+    mask_xy = jnp.asarray(flat.reshape(H, W))
+    gd2, gsel, _ = IDW.factored_prepare_full(mask_xy, G, k=k, use_pallas=False)
+    gd2_t, gsel_t = jnp.transpose(gd2), jnp.transpose(gsel)
+    table = jnp.asarray(rng.normal(size=(D, G)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(D, HW)).astype(np.float32))
+    dz2 = jnp.asarray(IDW.frame_dz2_np(D))
+
+    gselHW = np.asarray(gsel)
+
+    def f_xla(tbl):
+        cvals = jnp.transpose(tbl[:, gselHW], (1, 0, 2)).reshape(HW, D * k)
+        return IDW._factored_combine_xla(gd2, cvals, dz2, k, 2.0, 0.05)
+
+    _, vjp = jax.vjp(f_xla, table)
+    (d_ref,) = vjp(g)
+    d_new = factored_combine_table_bwd_pallas(gd2_t, gsel_t, g, dz2, G=G,
+                                              k=k, D=D)
+    diff = np.abs(np.asarray(d_ref) - np.asarray(d_new))
+    assert np.median(diff) < 1e-5
+    assert (diff > 1e-3).mean() < 0.02  # tie flips only
+
+    # exact linearity identity against the Pallas forward
+    V = jnp.asarray(rng.normal(size=(D, G)).astype(np.float32))
+    f0 = combine_table_with_vjp(gd2_t, gsel_t, table, dz2, k, D, 2.0, 0.05)
+    f1 = combine_table_with_vjp(gd2_t, gsel_t, table + V, dz2, k, D, 2.0, 0.05)
+    lhs = float(jnp.sum(g * (f1 - f0)))
+    rhs = float(jnp.sum(d_new * V))
+    assert abs(lhs - rhs) / (abs(lhs) + 1e-9) < 1e-4, (lhs, rhs)
+
+
 def test_pool_dup_kernel_matches_xla(rng):
     from p2igan_tpu.ops.layers import downsample_duplicate_channels
     from p2igan_tpu.ops.pallas.pool_dup import maxpool2_duplicate

@@ -101,6 +101,7 @@ def test_shared_batch_mask_inputblock_equivalence(rng):
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_prepared_idw_hoist_equivalence():
     """P2IGenerator with hoisted gauge selection == inline selection, and the
     reconstructor's compiled program (which hoists internally) matches the

@@ -54,6 +54,7 @@ def test_idw_pallas_gradient(rng):
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_factored_combine_pallas_matches_xla(rng):
     from p2igan_tpu.ops import idw as IDW
 
@@ -185,6 +186,7 @@ def test_combine_table_kernel_matches_gather_path(rng):
     assert (gdiff > 1e-3).mean() < 0.03
 
 
+@pytest.mark.slow
 def test_combine_table_bwd_kernel(rng):
     """The Pallas d_table backward vs the XLA combine's vjp, at a shape
     whose HW is not a multiple of the 512 pixel block (padding path), plus

@@ -33,7 +33,7 @@ V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak per v5e chip (f32 data still runs
 # on the MXU with bf16 passes under the default precision config)
 
 EVENT_T = 64          # frames per event (16 windows at step 4)
-N_EVENTS = 8
+N_EVENTS = 16         # measured: 16-event flattened batch beats 8 by ~2%
 H = W = 128
 T = 16
 

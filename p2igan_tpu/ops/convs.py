@@ -56,9 +56,42 @@ def conv3d(
     padding: IntOrPair = 0,
     groups: int = 1,
     bias: Optional[jax.Array] = None,
+    decompose_t: bool = False,
 ) -> jax.Array:
     st = _pair(stride, 3)
     pad = _pair(padding, 3)
+    kt = kernel.shape[0]
+    if decompose_t and groups == 1 and kt > 1:
+        # Temporal-tap decomposition: out[:, t] = sum_dt conv2d(
+        # x_tpad[:, t*st+dt], k[dt]) — T folds into the conv batch and each
+        # tap is a well-tiled NHWC 2D conv. Same dot products, summed
+        # tap-major (ulp-level reassociation). MEASURED NEGATIVE on the GAN
+        # train step (58.5 -> 72.1 ms at batch 12): XLA's 5D emitter
+        # ("EmitAllBatchInSublanes") runs the (3,3,3) convs at only ~12% of
+        # MXU peak, but the decomposition's three shifted temporal slices
+        # materialize full input copies in fwd AND both backward chains,
+        # and that HBM traffic costs more than the emitter saves. Kept
+        # opt-in for future shapes where the slices fuse.
+        B, T, H, W, C = x.shape
+        if pad[0]:
+            x = jnp.pad(x, ((0, 0), (pad[0], pad[0]), (0, 0), (0, 0), (0, 0)))
+        Tp = x.shape[1]
+        t_out = (Tp - kt) // st[0] + 1
+        out = None
+        for dt in range(kt):
+            xs = x[:, dt:dt + (t_out - 1) * st[0] + 1:st[0]]
+            o2 = jax.lax.conv_general_dilated(
+                xs.reshape(B * t_out, H, W, C),
+                kernel[dt],
+                window_strides=st[1:],
+                padding=[(pad[1], pad[1]), (pad[2], pad[2])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = o2 if out is None else out + o2
+        out = out.reshape(B, t_out, out.shape[1], out.shape[2], out.shape[3])
+        if bias is not None:
+            out = out + bias
+        return out
     out = jax.lax.conv_general_dilated(
         x,
         kernel,

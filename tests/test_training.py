@@ -153,8 +153,8 @@ def test_fused_disc_forward_equivalence():
                       update_stats=False)
     lf = disc.apply(variables, fake, update_stats=False)
     lr = disc.apply(variables, real, update_stats=False)
-    np.testing.assert_allclose(np.asarray(both[:2]), np.asarray(lf), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(both[2:]), np.asarray(lr), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(both[:2]), np.asarray(lf), rtol=5e-5)
+    np.testing.assert_allclose(np.asarray(both[2:]), np.asarray(lr), rtol=5e-5)
 
     # short-run drift check: the fused step (one power iteration per D step)
     # must track the reference-cadence step (two) closely over a few steps

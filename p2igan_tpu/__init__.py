@@ -41,8 +41,14 @@ def _honor_jax_platforms_env() -> None:
         # matters — respect the env var's preference
         if have.split(",")[0] != want.split(",")[0]:
             jax.config.update("jax_platforms", want)
-    except Exception:
-        pass
+    except Exception as e:  # pragma: no cover - depends on site hook state
+        import warnings
+
+        warnings.warn(
+            f"JAX_PLATFORMS={want!r} could not be re-applied after a site "
+            f"hook pre-imported jax ({e}); computation may run on "
+            f"{getattr(jax.config, 'jax_platforms', '?')!r} instead",
+            RuntimeWarning, stacklevel=2)
 
 
 _honor_jax_platforms_env()

@@ -167,7 +167,7 @@ class DOConv2d(nn.Module):
         groups = self.groups
         fuse_skip = (self.fuse_repeat_skip and not self.factored
                      and self.out_channels % self.in_channels == 0)
-        if groups > 1 and (fuse_skip or self.dense_groups):
+        if fuse_skip or (self.dense_groups and groups > 1):
             in_ch, out_ch = self.in_channels, self.out_channels
             in_g, out_g = in_ch // groups, out_ch // groups
             dense = jnp.zeros((M, N, in_ch, out_ch), kernel.dtype)

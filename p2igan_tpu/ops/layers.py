@@ -118,7 +118,7 @@ class BasicConvDO(nn.Module):
     groups: int = 1
     factored: bool = True
     fuse_repeat_skip: bool = False  # eval-only, see DOConv2d
-    dense_groups: bool = False      # eval-only, see DOConv2d
+    dense_groups: bool = False      # train+eval, autodiff-safe; see DOConv2d
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:

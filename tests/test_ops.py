@@ -46,6 +46,62 @@ def test_conv3d_matches_torch(rng):
     np.testing.assert_allclose(np.transpose(ref, (0, 2, 3, 4, 1)), np.asarray(out), atol=1e-4)
 
 
+def test_conv3d_temporal_decomposition_matches_native(rng):
+    """The opt-in temporal-tap decomposition (measured slower on the GAN
+    step, kept for shapes where the slices fuse — convs.py) must stay
+    numerically equal to the native 5D conv across stride/pad patterns."""
+    for (shape, cout, ks, st, pd) in [
+        ((2, 6, 8, 8, 3), 5, (3, 3, 3), (1, 2, 2), (1, 1, 1)),
+        ((2, 8, 6, 6, 4), 6, (3, 3, 3), (2, 1, 1), (1, 1, 1)),
+        ((1, 4, 8, 8, 3), 5, (2, 3, 3), (2, 2, 2), (0, 1, 1)),
+    ]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=ks + (shape[-1], cout)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+        a = C.conv3d(x, k, stride=st, padding=pd, bias=b, decompose_t=False)
+        d = C.conv3d(x, k, stride=st, padding=pd, bias=b, decompose_t=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d), atol=1e-4)
+
+
+def test_doconv_fuse_repeat_skip_groups1(rng):
+    """fuse_repeat_skip must also work at groups=1 (regression: a gate
+    refactor briefly required groups>1, silently dropping the skip)."""
+    import jax
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    plain = DO.DOConv2d(4, 16, 3, padding=1, groups=1, factored=False)
+    fused = DO.DOConv2d(4, 16, 3, padding=1, groups=1, factored=False,
+                        fuse_repeat_skip=True)
+    v = plain.init(jax.random.key(0), x)
+    want = plain.apply(v, x) + jnp.repeat(x, 4, axis=-1)
+    got = fused.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_doconv_dense_groups_gradient_parity(rng):
+    """dense_groups must not change W/D gradients: the VJP of the block
+    .set()s extracts exactly the on-block slices (the autodiff-safety
+    claim behind using the expansion in training, doconv.py)."""
+    import jax
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    grouped = DO.DOConv2d(8, 16, 3, padding=1, groups=4, factored=True)
+    dense = DO.DOConv2d(8, 16, 3, padding=1, groups=4, factored=True,
+                        dense_groups=True)
+    v = grouped.init(jax.random.key(0), x)
+
+    def loss(params, mod):
+        return jnp.sum(mod.apply({"params": params}, x) * g)
+
+    g_a = jax.grad(lambda p: loss(p, grouped))(v["params"])
+    g_b = jax.grad(lambda p: loss(p, dense))(v["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5, rtol=1e-5),
+        g_a, g_b)
+
+
 def test_conv_transpose3d_matches_torch(rng):
     x = rng.normal(size=(1, 4, 6, 6, 8)).astype(np.float32)
     w = rng.normal(size=(8, 5, 2, 2, 2)).astype(np.float32)  # I,O,kt,kh,kw (torch layout)

@@ -9,9 +9,12 @@ the k=4 nearest neighbours are extracted by iterative argmin rounds in
 registers, and only the (Q_BLK,) result is written back — HBM traffic drops
 from ~10 passes over the distance matrix to just grid + points + output.
 
-Gradients: the kernel is wrapped in ``jax.custom_vjp``; the backward pass
-re-derives the VJP from the mathematically identical pure-JAX implementation
-(values-gradient = normalized IDW weights scattered to the selected points).
+Gradients: the kernel is wrapped in ``jax.custom_vjp``; the backward is a
+second Pallas kernel producing d_values directly (values-gradient =
+normalized IDW weights scattered to the selected points). The selection
+weights depend only on geometry, so no value residuals are needed and the
+backward reuses the forward's exact arithmetic — consistent selection even
+at distance ties, and no (Q, P) candidate tensors in HBM.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..idw import grid_points, idw_3d_knn
+from ..idw import grid_points
 
 
 def _idw_kernel(gp_ref, pts_ref, vals_ref, penalty_ref, out_ref, *,
@@ -123,19 +126,131 @@ def _idw_forward(points_xyz, values, valid, out_shape, k, rho, tau, q_block):
     return out[0, :Q].reshape(D, H, W)
 
 
+def _idw_bwd_kernel(gp_ref, pts_ref, penalty_ref, g_ref, dv_ref, *,
+                    k: int, rho: float, tau: float):
+    """d_values partial for one grid block: (1, P), summed outside.
+
+    The selection weights depend only on geometry (points/grid/validity),
+    so the backward needs no value residuals: pass 1 re-runs the k argmin
+    rounds for the weight sum, pass 2 re-runs them scattering each selected
+    candidate's normalized weight x cotangent into its point column. Same
+    arithmetic as the forward kernel, so the gradient is consistent with
+    the compiled forward's selection even at distance ties (the old XLA
+    backward recomputed selection with different arithmetic AND pushed
+    (Q, P) distance/cotangent tensors through HBM).
+    """
+    P = pts_ref.shape[1]
+    qblk = gp_ref.shape[1]
+
+    gx = gp_ref[0, :].reshape(qblk, 1)
+    gy = gp_ref[1, :].reshape(qblk, 1)
+    gz = gp_ref[2, :].reshape(qblk, 1)
+    px = pts_ref[0, :].reshape(1, P)
+    py = pts_ref[1, :].reshape(1, P)
+    pz = pts_ref[2, :].reshape(1, P)
+    dx = gx - px
+    dy = gy - py
+    dz = gz - pz
+    d2 = dx * dx + dy * dy + dz * dz + penalty_ref[0, :].reshape(1, P)
+
+    g = g_ref[0, :].reshape(qblk, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qblk, P), 1)
+    inf = jnp.float32(np.inf)
+
+    def _w(d2_min):
+        d_min = jnp.sqrt(d2_min)
+        if abs(rho - 2.0) < 1e-6:
+            invd = 1.0 / (d_min + tau)
+            return invd * invd
+        return 1.0 / jnp.power(d_min + tau, rho)
+
+    d2a = d2
+    w_sum = jnp.zeros((qblk, 1), jnp.float32)
+    for _ in range(k):
+        d2_min = jnp.min(d2a, axis=1, keepdims=True)
+        idx = jnp.argmin(d2a, axis=1).reshape(qblk, 1)
+        hit = col == idx
+        w_sum = w_sum + _w(d2_min)
+        d2a = jnp.where(hit, inf, d2a)
+
+    scale = g / (w_sum + 1e-12)              # (qblk, 1)
+    dv = jnp.zeros((1, P), jnp.float32)
+    for _ in range(k):
+        d2_min = jnp.min(d2, axis=1, keepdims=True)
+        idx = jnp.argmin(d2, axis=1).reshape(qblk, 1)
+        hit = col == idx
+        w = _w(d2_min)
+        dv = dv + jnp.sum(jnp.where(hit, w * scale, 0.0), axis=0,
+                          keepdims=True)
+        d2 = jnp.where(hit, inf, d2)
+
+    dv_ref[0, 0, :] = dv.reshape(P)
+
+
+@functools.partial(jax.jit, static_argnames=("out_shape", "k", "rho", "tau",
+                                              "q_block"))
+def idw_3d_knn_bwd_pallas(points_xyz, valid, g, out_shape, k=4, rho=2.0,
+                          tau=0.05, q_block=512):
+    """d_values of ``idw_3d_knn_pallas`` w.r.t. ``values``. g: (D, H, W)."""
+    D, H, W = out_shape
+    gp = np.ascontiguousarray(grid_points(D, H, W).T)  # (3, Q)
+    Q = gp.shape[1]
+    Qp = _round_up(Q, q_block)
+    gflat = g.astype(jnp.float32).reshape(1, Q)
+    if Qp != Q:
+        gp = np.pad(gp, ((0, 0), (0, Qp - Q)))
+        gflat = jnp.pad(gflat, ((0, 0), (0, Qp - Q)))  # zero cotangent
+    P = points_xyz.shape[0]
+    Pp = _round_up(max(P, 128), 128)
+    pts = jnp.transpose(points_xyz.astype(jnp.float32))
+    penalty = jnp.where(valid, 0.0, np.float32(1e30)).reshape(1, P)
+    if Pp != P:
+        pts = jnp.pad(pts, ((0, 0), (0, Pp - P)))
+        penalty = jnp.pad(penalty, ((0, 0), (0, Pp - P)),
+                          constant_values=np.float32(1e30))
+    nblk = Qp // q_block
+
+    parts = pl.pallas_call(
+        functools.partial(_idw_bwd_kernel, k=k, rho=rho, tau=tau),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((3, q_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Pp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        # (nblk, 1, Pp) so the block's trailing two dims (1, Pp) equal the
+        # array dims — Mosaic's block-shape alignment rule
+        out_specs=pl.BlockSpec((1, 1, Pp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk, 1, Pp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=Qp * Pp * (9 + 12 * k),
+            bytes_accessed=4 * (4 * Qp + 4 * Pp + nblk * Pp),
+            transcendentals=2 * Qp * Pp,
+        ),
+    )(jnp.asarray(gp), pts, penalty, gflat)
+    return jnp.sum(parts, axis=(0, 1))[:P]
+
+
 def _idw_fwd(points_xyz, values, valid, out_shape, k, rho, tau, q_block):
     out = _idw_forward(points_xyz, values, valid, out_shape, k, rho, tau, q_block)
-    return out, (points_xyz, values, valid)
+    return out, (points_xyz, valid)
 
 
 def _idw_bwd(out_shape, k, rho, tau, q_block, residuals, g):
-    points_xyz, values, valid = residuals
-    # VJP via the mathematically identical XLA implementation
-    _, vjp = jax.vjp(
-        lambda p, v: idw_3d_knn(p, v, valid, out_shape, k=k, rho=rho, tau=tau),
-        points_xyz, values)
-    dp, dv = vjp(g)
-    return dp, dv, None
+    """Pallas backward producing d_values directly.
+
+    Gradients are defined w.r.t. ``values`` only: ``points_xyz`` are fixed
+    mask-derived geometry, never on a differentiable path, and receive zero
+    cotangents (the old XLA-vjp backward computed a real d_points chain
+    that XLA dead-code-eliminated — after materializing (Q, P) candidate
+    tensors in HBM)."""
+    points_xyz, valid = residuals
+    dv = idw_3d_knn_bwd_pallas(points_xyz, valid, g, out_shape, k=k, rho=rho,
+                               tau=tau, q_block=q_block)
+    return jnp.zeros_like(points_xyz), dv, None
 
 
 idw_3d_knn_pallas.defvjp(_idw_fwd, _idw_bwd)

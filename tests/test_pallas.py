@@ -54,6 +54,38 @@ def test_idw_pallas_gradient(rng):
                                atol=1e-3, rtol=1e-3)
 
 
+def test_idw_bwd_kernel_padding_and_linearity(rng):
+    """The Pallas d_values backward at odd sizes (P not a multiple of 128,
+    Q not a multiple of the block, invalid point tail) + the linearity
+    identity vs the Pallas forward (IDW is exactly linear in values)."""
+    from p2igan_tpu.ops.pallas.idw_kernel import (idw_3d_knn_bwd_pallas,
+                                                  idw_3d_knn_pallas)
+
+    D, H, W = 3, 24, 24
+    P = 150  # pads to 256
+    pts = jnp.asarray(rng.random((P, 3)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(P,)).astype(np.float32))
+    valid = jnp.asarray(np.arange(P) < 131)
+    g = jnp.asarray(rng.normal(size=(D, H, W)).astype(np.float32))
+
+    def loss_xla(v):
+        return jnp.sum(g * IDW.idw_3d_knn(pts, v, valid, (D, H, W), k=4,
+                                          chunk=256))
+
+    d_ref = np.asarray(jax.grad(loss_xla)(vals))
+    d_new = np.asarray(idw_3d_knn_bwd_pallas(pts, valid, g, (D, H, W), k=4))
+    diff = np.abs(d_ref - d_new)
+    assert np.median(diff) < 1e-5
+    assert (diff > 1e-3).mean() < 0.02  # tie flips only
+    # invalid points: selectable only via the 1e30 penalty, weights ~1e-30
+    assert np.abs(d_new[131:]).max() < 1e-6
+
+    fV = idw_3d_knn_pallas(pts, vals, valid, (D, H, W), 4, 2.0, 0.05, 512)
+    lhs = float(jnp.sum(g * fV))
+    rhs = float(jnp.sum(jnp.asarray(d_new) * vals))
+    assert abs(lhs - rhs) / (abs(lhs) + 1e-9) < 1e-4, (lhs, rhs)
+
+
 @pytest.mark.slow
 def test_factored_combine_pallas_matches_xla(rng):
     from p2igan_tpu.ops import idw as IDW

@@ -64,6 +64,31 @@ def _frame_selection(D: int, k: int, tie_eps: float = 1e-5):
     return np.stack(sel).astype(np.int32), kf
 
 
+def _idw_weight(d_min: jax.Array, rho: float, tau: float) -> jax.Array:
+    """Selected-candidate IDW weight ``1/(d+tau)^rho``; zero at the BIGD
+    sentinel (invalid/already-extracted candidates). Shared by the forward
+    and backward kernels so their selection arithmetic stays identical."""
+    if abs(rho - 2.0) < 1e-6:
+        invd = 1.0 / (d_min + tau)
+        w = invd * invd
+    else:
+        w = 1.0 / jnp.power(d_min + tau, rho)
+    return jnp.where(d_min < BIGD, w, 0.0)
+
+
+def _pruned_frame_table(dz2: jax.Array, D: int, k: int, prune: bool):
+    """(sel, kf, fd2): static per-z frame selection + the (D, kf*k) pruned
+    frame-distance table, frame-major candidate row order."""
+    if prune:
+        sel, kf = _frame_selection(D, k)
+    else:  # full frame-major candidate set (pruning-equivalence testing)
+        sel = np.tile(np.arange(D, dtype=np.int32), (D, 1))
+        kf = D
+    fd2 = jnp.repeat(jnp.take_along_axis(dz2, jnp.asarray(sel), axis=1),
+                     k, axis=1)
+    return sel, kf, fd2
+
+
 def _combine_kernel(gd2_ref, cvals_ref, fd2_ref, out_ref, *, k: int, D: int,
                     rho: float, tau: float, sel: tuple):
     """gd2: (k, B); cvals: (D*k, B); fd2: (D, kf*k); out: (D, B).
@@ -96,12 +121,7 @@ def _combine_kernel(gd2_ref, cvals_ref, fd2_ref, out_ref, *, k: int, D: int,
             idx = jnp.argmin(cd, axis=0)     # lowest index on ties
             hit = row == idx[None, :]
             v = jnp.sum(jnp.where(hit, cv, 0.0), axis=0)
-            if abs(rho - 2.0) < 1e-6:
-                invd = 1.0 / (d_min + tau)
-                w = invd * invd
-            else:
-                w = 1.0 / jnp.power(d_min + tau, rho)
-            w = jnp.where(d_min < BIGD, w, 0.0)
+            w = _idw_weight(d_min, rho, tau)
             w_sum = w_sum + w
             wv_sum = wv_sum + w * v
             cd = jnp.where(hit, BIGD, cd)
@@ -120,14 +140,7 @@ def factored_combine_pallas(gd2_t: jax.Array,    # (k, HW) gauge dists^2
     if HWp != HW:
         gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
         cvals_t = jnp.pad(cvals_t, ((0, 0), (0, HWp - HW)))
-    if prune:
-        sel, kf = _frame_selection(D, k)
-    else:  # full frame-major candidate set (pruning-equivalence testing)
-        sel = np.tile(np.arange(D, dtype=np.int32), (D, 1))
-        kf = D
-    # frame distance for each PRUNED frame-major candidate row: (D, kf*k)
-    dz2 = jnp.repeat(jnp.take_along_axis(dz2, jnp.asarray(sel), axis=1),
-                     k, axis=1)
+    sel, kf, dz2 = _pruned_frame_table(dz2, D, k, prune)
 
     out = pl.pallas_call(
         functools.partial(_combine_kernel, k=k, D=D, rho=rho, tau=tau,
@@ -195,12 +208,7 @@ def _combine_table_kernel(gd2_ref, gsel_ref, table_ref, fd2_ref, out_ref, *,
             idx = jnp.argmin(cd, axis=0)
             hit = row == idx[None, :]
             v = jnp.sum(jnp.where(hit, cv, 0.0), axis=0)
-            if abs(rho - 2.0) < 1e-6:
-                invd = 1.0 / (d_min + tau)
-                w = invd * invd
-            else:
-                w = 1.0 / jnp.power(d_min + tau, rho)
-            w = jnp.where(d_min < BIGD, w, 0.0)
+            w = _idw_weight(d_min, rho, tau)
             w_sum = w_sum + w
             wv_sum = wv_sum + w * v
             cd = jnp.where(hit, BIGD, cd)
@@ -222,13 +230,7 @@ def factored_combine_table_pallas(gd2_t: jax.Array,   # (k, HW)
     if HWp != HW:
         gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
         gsel_t = jnp.pad(gsel_t, ((0, 0), (0, HWp - HW)))
-    if prune:
-        sel, kf = _frame_selection(D, k)
-    else:
-        sel = np.tile(np.arange(D, dtype=np.int32), (D, 1))
-        kf = D
-    dz2 = jnp.repeat(jnp.take_along_axis(dz2, jnp.asarray(sel), axis=1),
-                     k, axis=1)
+    sel, kf, dz2 = _pruned_frame_table(dz2, D, k, prune)
 
     out = pl.pallas_call(
         functools.partial(_combine_table_kernel, k=k, D=D, rho=rho, tau=tau,
@@ -255,8 +257,8 @@ def factored_combine_table_pallas(gd2_t: jax.Array,   # (k, HW)
 
 
 def _combine_table_bwd_kernel(gd2_ref, gsel_ref, fd2_ref, g_ref, route_ref,
-                              dtab_ref, *, k: int, D: int, rho: float,
-                              tau: float, sel: tuple):
+                              dtab_ref, *, k: int, D: int, kf: int,
+                              rho: float, tau: float):
     """d_table for one pixel block: (1, D, G) partial, summed outside.
 
     The selection weights depend only on geometry (gd2/fd2), not on the
@@ -271,7 +273,6 @@ def _combine_table_bwd_kernel(gd2_ref, gsel_ref, fd2_ref, g_ref, route_ref,
     PROFILE.md per-op trace).
     """
     B = gd2_ref.shape[1]
-    kf = len(sel[0])
     gd2 = gd2_ref[...]                       # (k, B)
     gsel = gsel_ref[...]                     # (k, B) i32
     g = g_ref[...]                           # (D, B) cotangent
@@ -293,12 +294,7 @@ def _combine_table_bwd_kernel(gd2_ref, gsel_ref, fd2_ref, g_ref, route_ref,
             d_min = jnp.min(cd, axis=0)
             idx = jnp.argmin(cd, axis=0)
             hit = row == idx[None, :]
-            if abs(rho - 2.0) < 1e-6:
-                invd = 1.0 / (d_min + tau)
-                w = invd * invd
-            else:
-                w = 1.0 / jnp.power(d_min + tau, rho)
-            w = jnp.where(d_min < BIGD, w, 0.0)
+            w = _idw_weight(d_min, rho, tau)
             w_sum = w_sum + w
             wsel = wsel + jnp.where(hit, w[None, :], 0.0)
             cd = jnp.where(hit, BIGD, cd)
@@ -338,13 +334,7 @@ def factored_combine_table_bwd_pallas(gd2_t: jax.Array,   # (k, HW)
         gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
         gsel_t = jnp.pad(gsel_t, ((0, 0), (0, HWp - HW)))
         g = jnp.pad(g, ((0, 0), (0, HWp - HW)))
-    if prune:
-        sel, kf = _frame_selection(D, k)
-    else:
-        sel = np.tile(np.arange(D, dtype=np.int32), (D, 1))
-        kf = D
-    fd2 = jnp.repeat(jnp.take_along_axis(dz2, jnp.asarray(sel), axis=1),
-                     k, axis=1)
+    sel, kf, fd2 = _pruned_frame_table(dz2, D, k, prune)
     nblk = HWp // hw_block
     # routing input: frame f of candidate row j*k+s under query z is sel[z][j]
     route = np.zeros((D, D, kf), np.float32)
@@ -353,9 +343,8 @@ def factored_combine_table_bwd_pallas(gd2_t: jax.Array,   # (k, HW)
             route[z, int(f), j] = 1.0
 
     parts = pl.pallas_call(
-        functools.partial(_combine_table_bwd_kernel, k=k, D=D, rho=rho,
-                          tau=tau,
-                          sel=tuple(tuple(int(f) for f in row) for row in sel)),
+        functools.partial(_combine_table_bwd_kernel, k=k, D=D, kf=kf,
+                          rho=rho, tau=tau),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((k, hw_block), lambda j: (0, j),

@@ -31,6 +31,32 @@ from jax.experimental.pallas import tpu as pltpu
 from ..idw import grid_points
 
 
+def _weight_from_d2(d2_min, rho: float, tau: float):
+    """IDW weight from the squared winner distance; shared by the forward
+    and backward kernels so their selection arithmetic stays identical
+    (invalid points carry a 1e30 penalty, making w ~1e-30 — effectively
+    zero without an explicit mask, matching the reference)."""
+    d_min = jnp.sqrt(d2_min)
+    if abs(rho - 2.0) < 1e-6:
+        invd = 1.0 / (d_min + tau)
+        return invd * invd
+    return 1.0 / jnp.power(d_min + tau, rho)
+
+
+def _prep_points(points_xyz, valid):
+    """(pts (3, Pp), penalty (1, Pp), Pp): lane-padded transposed points +
+    validity penalty, shared by the forward and backward wrappers."""
+    P = points_xyz.shape[0]
+    Pp = _round_up(max(P, 128), 128)
+    pts = jnp.transpose(points_xyz.astype(jnp.float32))
+    penalty = jnp.where(valid, 0.0, np.float32(1e30)).reshape(1, P)
+    if Pp != P:
+        pts = jnp.pad(pts, ((0, 0), (0, Pp - P)))
+        penalty = jnp.pad(penalty, ((0, 0), (0, Pp - P)),
+                          constant_values=np.float32(1e30))
+    return pts, penalty, Pp
+
+
 def _idw_kernel(gp_ref, pts_ref, vals_ref, penalty_ref, out_ref, *,
                 k: int, rho: float, tau: float):
     """One grid block. gp_ref: (3, Q_BLK); pts/vals/penalty: (3, P)/(1, P)."""
@@ -61,12 +87,7 @@ def _idw_kernel(gp_ref, pts_ref, vals_ref, penalty_ref, out_ref, *,
         idx = jnp.argmin(d2, axis=1).reshape(qblk, 1)
         hit = col == idx
         v_min = jnp.sum(jnp.where(hit, vals, 0.0), axis=1, keepdims=True)
-        d_min = jnp.sqrt(d2_min)
-        if abs(rho - 2.0) < 1e-6:
-            invd = 1.0 / (d_min + tau)
-            w = invd * invd
-        else:
-            w = 1.0 / jnp.power(d_min + tau, rho)
+        w = _weight_from_d2(d2_min, rho, tau)
         w_sum = w_sum + w
         wv_sum = wv_sum + w * v_min
         d2 = jnp.where(hit, inf, d2)
@@ -95,16 +116,10 @@ def _idw_forward(points_xyz, values, valid, out_shape, k, rho, tau, q_block):
     if Qp != Q:
         gp = np.pad(gp, ((0, 0), (0, Qp - Q)))
     P = points_xyz.shape[0]
-    Pp = _round_up(max(P, 128), 128)
-
-    pts = jnp.transpose(points_xyz.astype(jnp.float32))  # (3, P)
+    pts, penalty, Pp = _prep_points(points_xyz, valid)
     vals = values.astype(jnp.float32).reshape(1, P)
-    penalty = jnp.where(valid, 0.0, np.float32(1e30)).reshape(1, P)
     if Pp != P:
-        pts = jnp.pad(pts, ((0, 0), (0, Pp - P)))
         vals = jnp.pad(vals, ((0, 0), (0, Pp - P)))
-        penalty = jnp.pad(penalty, ((0, 0), (0, Pp - P)),
-                          constant_values=np.float32(1e30))
 
     out = pl.pallas_call(
         functools.partial(_idw_kernel, k=k, rho=rho, tau=tau),
@@ -157,20 +172,13 @@ def _idw_bwd_kernel(gp_ref, pts_ref, penalty_ref, g_ref, dv_ref, *,
     col = jax.lax.broadcasted_iota(jnp.int32, (qblk, P), 1)
     inf = jnp.float32(np.inf)
 
-    def _w(d2_min):
-        d_min = jnp.sqrt(d2_min)
-        if abs(rho - 2.0) < 1e-6:
-            invd = 1.0 / (d_min + tau)
-            return invd * invd
-        return 1.0 / jnp.power(d_min + tau, rho)
-
     d2a = d2
     w_sum = jnp.zeros((qblk, 1), jnp.float32)
     for _ in range(k):
         d2_min = jnp.min(d2a, axis=1, keepdims=True)
         idx = jnp.argmin(d2a, axis=1).reshape(qblk, 1)
         hit = col == idx
-        w_sum = w_sum + _w(d2_min)
+        w_sum = w_sum + _weight_from_d2(d2_min, rho, tau)
         d2a = jnp.where(hit, inf, d2a)
 
     scale = g / (w_sum + 1e-12)              # (qblk, 1)
@@ -179,7 +187,7 @@ def _idw_bwd_kernel(gp_ref, pts_ref, penalty_ref, g_ref, dv_ref, *,
         d2_min = jnp.min(d2, axis=1, keepdims=True)
         idx = jnp.argmin(d2, axis=1).reshape(qblk, 1)
         hit = col == idx
-        w = _w(d2_min)
+        w = _weight_from_d2(d2_min, rho, tau)
         dv = dv + jnp.sum(jnp.where(hit, w * scale, 0.0), axis=0,
                           keepdims=True)
         d2 = jnp.where(hit, inf, d2)
@@ -201,13 +209,7 @@ def idw_3d_knn_bwd_pallas(points_xyz, valid, g, out_shape, k=4, rho=2.0,
         gp = np.pad(gp, ((0, 0), (0, Qp - Q)))
         gflat = jnp.pad(gflat, ((0, 0), (0, Qp - Q)))  # zero cotangent
     P = points_xyz.shape[0]
-    Pp = _round_up(max(P, 128), 128)
-    pts = jnp.transpose(points_xyz.astype(jnp.float32))
-    penalty = jnp.where(valid, 0.0, np.float32(1e30)).reshape(1, P)
-    if Pp != P:
-        pts = jnp.pad(pts, ((0, 0), (0, Pp - P)))
-        penalty = jnp.pad(penalty, ((0, 0), (0, Pp - P)),
-                          constant_values=np.float32(1e30))
+    pts, penalty, Pp = _prep_points(points_xyz, valid)
     nblk = Qp // q_block
 
     parts = pl.pallas_call(

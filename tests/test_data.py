@@ -144,3 +144,48 @@ def test_event_dataset_video_branch(tmp_path):
     # nowcasting mask keeps the first `keep` frames
     np.testing.assert_array_equal(mask[:2], np.ones_like(mask[:2]))
     np.testing.assert_array_equal(mask[2:], np.zeros_like(mask[2:]))
+
+
+def test_preprocess_cli_builds_train_zarr(tmp_path):
+    """scripts/preprocess.py (reference preprocess.py:130-233): h5 events ->
+    events/<ts>/frames uint8 + index/windows, readable by ZarrWindowDataset."""
+    import subprocess
+    import sys
+
+    import h5py
+
+    h5_dir = tmp_path / "h5"
+    h5_dir.mkdir()
+    rng = np.random.default_rng(0)
+    lengths = {101: 9, 205: 6}
+    for ts, t in lengths.items():
+        with h5py.File(h5_dir / f"event_{ts}.h5", "w") as f:
+            f.create_dataset(
+                "frames", data=rng.integers(0, 255, (t, 16, 16), dtype=np.uint8))
+
+    out = tmp_path / "train.zarr"
+    subprocess.run(
+        [sys.executable, "scripts/preprocess.py", "--h5-dir", str(h5_dir),
+         "--output", str(out), "--window", "4", "--stride", "2"],
+        check=True, capture_output=True)
+
+    from p2igan_tpu.data import zarrlite
+
+    root = zarrlite.open_group(out)
+    assert root.attrs["suggested_window"] == 4
+    # timestamp-sorted event ids; windows = [event_id, start, length]
+    idx = root["index"]["windows"][:]
+    want = [[0, s, 4] for s in range(0, 9 - 4 + 1, 2)] \
+        + [[1, s, 4] for s in range(0, 6 - 4 + 1, 2)]
+    np.testing.assert_array_equal(idx, np.asarray(want, np.int32))
+    with h5py.File(h5_dir / "event_101.h5", "r") as f:
+        np.testing.assert_array_equal(root["events"]["101"]["frames"][:],
+                                      f["frames"][:])
+
+    ds = ZarrWindowDataset({"data_root": str(out), "w": 16, "h": 16,
+                            "sample_length": 4,
+                            "mask": {"type": "nowcasting", "keep": 2}})
+    assert len(ds) == len(want)
+    video, masked, mask = ds.__getitem__(0, rng=np.random.default_rng(1))
+    assert video.shape == (4, 16, 16, 1)
+    np.testing.assert_array_equal(masked, video * mask)

@@ -140,3 +140,37 @@ def test_full_experiment_suite_on_fake_data(tmp_path):
     assert (out / "exp3" / "metrics.json").exists()
     assert (out / "exp3" / "nse_boxplot.pdf").exists()
     assert (out / "exp3" / "scatter_panels.pdf").exists()
+
+
+def test_visualize_and_inspection_scripts(tmp_path, rng, monkeypatch):
+    """Smoke the two untested CLI scripts (SURVEY #26/#29): the zarr GIF
+    preview and the data-inspection histogram report."""
+    import subprocess
+    import sys
+
+    store = tmp_path / "preds.zarr"
+    z = zarrlite.open(store, mode="w")
+    data = rng.random((5, 12, 12)).astype(np.float32) * 30
+    z.create_dataset("event_00", shape=data.shape, dtype="float32", data=data)
+
+    gif = tmp_path / "preview.gif"
+    subprocess.run(
+        [sys.executable, "scripts/visualize.py", "--zarr", str(store),
+         "--output", str(gif), "--num-frames", "3"],
+        check=True, capture_output=True)
+    assert gif.exists() and gif.stat().st_size > 0
+
+    cfg = {"save_dir": str(tmp_path / "results"), "mode": "radar",
+           "data": {"radar": {"observation_path": str(store),
+                              "truth_path": str(store),
+                              "methods": {"P2IGAN": str(store),
+                                          "missing": str(tmp_path / "nope.zarr")},
+                              "mask_train_path": "", "mask_test_path": ""}}}
+    cfg_path = tmp_path / "inspect.json"
+    cfg_path.write_text(json.dumps(cfg))
+    monkeypatch.setenv("P2I_EXPERIMENTS_CONFIG", str(cfg_path))
+    from experiments.test import main as inspect_main
+
+    inspect_main()
+    out = tmp_path / "results" / "data_inspection" / "value_histograms.png"
+    assert out.exists() and out.stat().st_size > 0

@@ -64,3 +64,33 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Device-put a pytree of host arrays with batch-dim sharding."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def model_sharded_params(params: Any, mesh: Mesh, axis: str = "model") -> Any:
+    """Tensor-parallel parameter placement: shard each kernel's trailing
+    (output-channel) dim over the ``model`` axis, replicate the rest.
+
+    The models here are small enough that TP is never required (SURVEY
+    §2.3) — this is the completeness hook: under ``jit``, GSPMD propagates
+    the channel sharding through the convs and inserts the all-gathers /
+    reduce-scatters itself (HWIO kernels shard on O; 1-D params such as
+    biases and spectral-norm ``u`` stay replicated because an uneven or
+    tiny trailing dim falls back to replication).
+    """
+    n = mesh.shape[axis]
+
+    def _sharding(x: jax.Array) -> NamedSharding:
+        if x.ndim >= 2:
+            # HWIO/DHWIO kernels carry O on the trailing dim; DOConv's
+            # factored W is (O, I/g, D_mul) with O leading — prefer the
+            # trailing dim, fall back to the leading one
+            if x.shape[-1] % n == 0 and x.shape[-1] >= n:
+                return NamedSharding(
+                    mesh, P(*([None] * (x.ndim - 1) + [axis])))
+            if x.shape[0] % n == 0 and x.shape[0] >= n:
+                return NamedSharding(
+                    mesh, P(*([axis] + [None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, _sharding(x)), params)

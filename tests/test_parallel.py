@@ -159,3 +159,33 @@ def test_sharded_batch_matches_single_device():
     mesh = create_mesh(("data",))
     got = recon.sharded_batch(masked, masks, mesh)
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_model_sharded_generator_matches_replicated(rng):
+    """TP completeness hook (SURVEY §2.3): generator forward on a 2x4
+    (data, model) mesh with output-channel-sharded kernels == the
+    replicated forward; GSPMD inserts the collectives."""
+    from p2igan_tpu.models import P2IGenerator
+    from p2igan_tpu.parallel.mesh import model_sharded_params
+
+    t, hw = 4, 16
+    gen = P2IGenerator(H=hw, W=hw, length=t, num_res=1, base_channels=16,
+                       idw_max_points=128, idw_chunk=256)
+    b = 4
+    frames = jnp.asarray(rng.random((b, t, hw, hw, 1)).astype(np.float32))
+    masks = jnp.asarray((rng.random((b, t, hw, hw, 1)) < 0.2).astype(np.float32))
+    masked = frames * masks
+    variables = gen.init(jax.random.key(0), masked, masks)
+    fwd = jax.jit(lambda p, a, m: gen.apply({"params": p}, a, m))
+    # reference = the jitted replicated forward (eager vs jit legitimately
+    # differ at IDW argmin tie pixels under different fusion)
+    want = np.asarray(fwd(variables["params"], masked, masks))
+
+    mesh = create_mesh(("data", "model"), shape=(2, 4))
+    params_tp = model_sharded_params(variables["params"], mesh)
+    data_sh = batch_sharding(mesh, "data")
+    masked_s = jax.device_put(masked, data_sh)
+    masks_s = jax.device_put(masks, data_sh)
+    got = np.asarray(fwd(params_tp, masked_s, masks_s))
+    np.testing.assert_allclose(got, want, atol=1e-5)

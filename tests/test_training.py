@@ -239,3 +239,20 @@ def test_window_length_mismatch_fails_fast(tmp_path, monkeypatch):
     cfg = _cfg(tmp_path, model="p2igan", use_gan=0, base=16, t=4, hw=32)
     with pytest.raises(ValueError, match="window"):
         Trainer(cfg)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ["dk", "stdk"])
+def test_dk_family_training_runs(data_root, monkeypatch, model, tmp_path):
+    """The DeepKriging baselines must train end-to-end through the Trainer
+    (reference dk.json / stdk.json: plain reconstruction, use_gan=false);
+    previously only forward parity and checkpoint import were covered."""
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    cfg = _cfg(data_root, model=model, use_gan=0)
+    cfg["save_dir"] = str(tmp_path / "weights")
+    cfg["train"]["iterations"] = 2
+    cfg["train"]["use_validation"] = False
+    tr = Trainer(cfg)
+    tr.train()
+    assert tr.global_step >= 2
+    assert (tmp_path / "weights" / "latest.ckpt").exists()

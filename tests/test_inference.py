@@ -169,3 +169,41 @@ def test_flattened_batch_program_matches_sequential():
     got2 = recon.batch(masked2, masks2)
     # vmap changes f32 fusion/reduction order; outputs are x255-scaled
     np.testing.assert_allclose(got2, seq2, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_run_inference_dk_model(tmp_path, monkeypatch):
+    """The inference CLI path must serve the DeepKriging family too
+    (reference infer.py:83-106 resolves dk/stdk sample_length from
+    test-or-train config); previously only 'simple' went through
+    run_inference."""
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    fake.write_h5_events(tmp_path / "events", n_events=1, T=8, H=32, W=32)
+    mask_file = fake.write_gauge_mask(tmp_path / "mask.txt", H=32, W=32,
+                                      n_gauges=20)
+    cfg = {
+        "seed": 1,
+        "save_dir": str(tmp_path / "weights"),
+        "model": {"name": "dk", "in_channels": 1, "base_channels": 8},
+        "data": {
+            "train": {"data_root": str(tmp_path / "events"), "w": 32, "h": 32,
+                      "sample_length": 4,
+                      "mask": {"type": "stis", "file": str(mask_file)}},
+            "test": {"data_root": str(tmp_path / "events"), "w": 32, "h": 32,
+                     "sample_length": 4},
+        },
+        "loss": {"use_gan": 0, "k1_weight": 0.0},
+        "train": {"optimizer": {"lr": 1e-3}, "batch_size": 1, "num_workers": 1,
+                  "iterations": 1, "log_step": 1, "use_validation": False},
+    }
+    from p2igan_tpu.training.trainer import Trainer
+
+    Trainer(cfg).train()
+    out = run_inference(cfg, stride=4, overlap=2, overwrite=True)
+    g = zarrlite.open(out, mode="r")
+    assert g.attrs["model_name"] == "dk"
+    # test sample_length=4 truncates the 8-frame event (reference
+    # sti_dataset.py sample_length semantics)
+    ev = g["event_01"][:]
+    assert ev.shape == (4, 32, 32, 1)
+    assert np.isfinite(ev).all()

@@ -98,13 +98,27 @@ class P2IGenerator(nn.Module):
         # size the static IDW point budget from the mask type
         mask_type = mask_cfg.get("type", "sti")
         H, W = data_cfg["h"], data_cfg["w"]
-        if mask_type in ("sti", "stin"):
-            bs = min(mask_cfg.get("block_sizes", [4]))
-            n_pts = length * (-(-H // bs)) * (-(-W // bs))
+        # Worst-case observed-point count per sample for each mask family
+        # (data/masks.py:59-104); undersizing silently drops points in the
+        # static nonzero gather, so every branch bounds its maximum draw.
+        bs = min(mask_cfg.get("block_sizes", [4]) or [4])
+        keep = min(int(mask_cfg.get("keep", 4)), length)
+        per_frame_sti = (-(-H // bs)) * (-(-W // bs))
+        if mask_type == "sti":
+            n_pts = length * per_frame_sti
+        elif mask_type == "stin":
+            # first `keep` frames fully observed + the sti pattern on the rest
+            n_pts = keep * H * W + (length - keep) * per_frame_sti
+        elif mask_type == "fi":
+            # every (interval+1)-th frame fully observed; min interval = most
+            iv = min(mask_cfg.get("interval", [2, 5]) or [2])
+            n_pts = (-(-length // (iv + 1))) * H * W
+        elif mask_type == "nowcasting":
+            n_pts = keep * H * W
         elif mask_type == "stis":
             n_pts = length * 256  # gauge masks are sparse; generous static cap
         else:
-            n_pts = length * H * W // 8
+            n_pts = length * H * W  # unknown type: full budget, never truncate
         max_points = kw.pop("idw_max_points", -(-n_pts // 128) * 128)
         # sti/stis masks share one spatial pattern across frames -> the
         # factorized exact k-NN applies (stin/fi/nowcasting do not qualify);

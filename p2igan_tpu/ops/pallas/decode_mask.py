@@ -16,35 +16,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _decode_kernel(u8_ref, mask_ref, video_ref, masked_ref):
-    # true division: bit-identical to the host pipeline's numpy `v / 255.0`
-    v = u8_ref[...].astype(jnp.float32) / 255.0
+    # true division: bit-identical to the host pipeline's numpy `v / 255.0`.
+    # Mosaic has no direct uint8->f32 cast; widen through int32 (exact for
+    # the full 0..255 range, verified on chip).
+    v = u8_ref[...].astype(jnp.int32).astype(jnp.float32) / 255.0
     video_ref[...] = v
     masked_ref[...] = v * mask_ref[...]
 
 
 def decode_normalize_mask(frames_u8: jax.Array, mask: jax.Array,
-                          use_pallas: bool | None = None):
-    """(..., H, W) uint8 + 0/1 mask -> (video, masked) float32 in [0, 1]."""
+                          use_pallas: bool | None = None,
+                          block_rows: int = 1024):
+    """(..., H, W[, 1]) uint8 + 0/1 mask -> (video, masked) float32 in [0, 1].
+
+    Trailing singleton axes (the channel-last ``(B,T,H,W,1)`` training batch
+    layout) are collapsed before tiling so the kernel always sees a genuine
+    ``(rows, W)`` lane layout, and the grid walks row blocks so VMEM residency
+    is bounded at ``4 * block_rows * W * 4`` bytes regardless of batch size.
+    """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:  # XLA fallback (CPU tests / non-TPU backends)
         video = frames_u8.astype(jnp.float32) / 255.0
         return video, video * mask.astype(jnp.float32)
     orig_shape = frames_u8.shape
-    H, W = orig_shape[-2], orig_shape[-1]
+    shape = list(orig_shape)
+    while len(shape) > 2 and shape[-1] == 1:
+        shape.pop()
+    W = shape[-1]
     n = 1
-    for s in orig_shape[:-2]:
+    for s in shape[:-1]:
         n *= s
-    u8 = frames_u8.reshape(n * H, W)
-    m = mask.astype(jnp.float32).reshape(n * H, W)
+    u8 = frames_u8.reshape(n, W)
+    m = mask.astype(jnp.float32).reshape(n, W)
 
+    rows = min(block_rows, n)
+    spec = pl.BlockSpec((rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     video, masked = pl.pallas_call(
         _decode_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct(u8.shape, jnp.float32),
-                   jax.ShapeDtypeStruct(u8.shape, jnp.float32)),
+        grid=(pl.cdiv(n, rows),),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((n, W), jnp.float32),
+                   jax.ShapeDtypeStruct((n, W), jnp.float32)),
     )(u8, m)
     return video.reshape(orig_shape), masked.reshape(orig_shape)

@@ -99,6 +99,17 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+# Above this candidate count the single-pass kernel's (q_block, P) VMEM tile
+# overflows Mosaic's 16 MB scoped-VMEM stack (measured on v5e: P=16000 at
+# q_block=512 allocates 36 MB and fails); the two-level chunked path takes
+# over. 4096 keeps the single-pass tile at ~8.4 MB with margin.
+_P_SINGLE_PASS_MAX = 4096
+# Chunked-path tile: (q_block, p_chunk) intermediates must fit Mosaic's 16 MB
+# scoped-VMEM stack (measured: 512x8192 f32 tiles hit 18.8 MB and fail).
+_P_CHUNK = 2048
+_Q_BLOCK_CHUNKED = 256
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def idw_3d_knn_pallas(points_xyz: jax.Array, values: jax.Array, valid: jax.Array,
                       out_shape: Tuple[int, int, int], k: int = 4,
@@ -109,6 +120,15 @@ def idw_3d_knn_pallas(points_xyz: jax.Array, values: jax.Array, valid: jax.Array
 
 
 def _idw_forward(points_xyz, values, valid, out_shape, k, rho, tau, q_block):
+    if points_xyz.shape[0] > _P_SINGLE_PASS_MAX:
+        out, _ = _idw_forward_chunked(points_xyz, values, valid, out_shape,
+                                      k, rho, tau, q_block)
+        return out
+    return _idw_forward_single(points_xyz, values, valid, out_shape, k, rho,
+                               tau, q_block)
+
+
+def _idw_forward_single(points_xyz, values, valid, out_shape, k, rho, tau, q_block):
     D, H, W = out_shape
     gp = np.ascontiguousarray(grid_points(D, H, W).T)  # (3, Q)
     Q = gp.shape[1]
@@ -139,6 +159,141 @@ def _idw_forward(points_xyz, values, valid, out_shape, k, rho, tau, q_block):
         ),
     )(jnp.asarray(gp), pts, vals, penalty)
     return out[0, :Q].reshape(D, H, W)
+
+
+def _idw_topk_chunk_kernel(gp_ref, pts_ref, penalty_ref, d2_ref, idx_ref, *,
+                           k: int, p_chunk: int):
+    """Local top-k for one (query block, candidate chunk) grid cell.
+
+    Emits the chunk's k nearest squared distances and their GLOBAL candidate
+    indices; the exact global top-k is recovered outside by a lexicographic
+    (d2, idx) merge over the per-chunk winners (global top-k is always a
+    subset of the union of chunk top-ks). VMEM holds only a
+    (q_block, p_chunk) tile, so any candidate count compiles.
+    """
+    j = pl.program_id(1)
+    P = pts_ref.shape[1]
+    qblk = gp_ref.shape[1]
+
+    gx = gp_ref[0, :].reshape(qblk, 1)
+    gy = gp_ref[1, :].reshape(qblk, 1)
+    gz = gp_ref[2, :].reshape(qblk, 1)
+    px = pts_ref[0, :].reshape(1, P)
+    py = pts_ref[1, :].reshape(1, P)
+    pz = pts_ref[2, :].reshape(1, P)
+    dx = gx - px
+    dy = gy - py
+    dz = gz - pz
+    d2 = dx * dx + dy * dy + dz * dz + penalty_ref[0, :].reshape(1, P)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (qblk, P), 1)
+    inf = jnp.float32(np.inf)
+    base = j * p_chunk
+    for r in range(k):
+        d2_min = jnp.min(d2, axis=1, keepdims=True)
+        idx = jnp.argmin(d2, axis=1).reshape(qblk, 1)
+        hit = col == idx
+        d2_ref[0, r, :] = d2_min.reshape(qblk)
+        idx_ref[0, r, :] = (idx + base).reshape(qblk)
+        d2 = jnp.where(hit, inf, d2)
+
+
+def _idw_forward_chunked(points_xyz, values, valid, out_shape, k, rho, tau,
+                         q_block):
+    """(out (D,H,W), (sel_idx (Q,k), w_norm (Q,k))) for large candidate sets.
+
+    Phase A (Pallas): per-chunk local top-k over a (q_blocks, p_chunks) grid.
+    Phase B (XLA, tiny (Q, chunks*k) arrays): exact merge replaying Mosaic's
+    own argmin total order — min d2 first, ties by highest lane then lowest
+    lane group (see in-loop comment) — then IDW weights and the value gather.
+    The
+    selected indices/weights are returned so the VJP is an exact scatter of
+    the forward's own selection (no recompute, no tie drift).
+    """
+    D, H, W = out_shape
+    q_block = min(q_block, _Q_BLOCK_CHUNKED)
+    gp = np.ascontiguousarray(grid_points(D, H, W).T)  # (3, Q)
+    Q = gp.shape[1]
+    Qp = _round_up(Q, q_block)
+    if Qp != Q:
+        gp = np.pad(gp, ((0, 0), (0, Qp - Q)))
+    P = points_xyz.shape[0]
+    pts, penalty, Pp = _prep_points(points_xyz, valid)
+    p_chunk = _P_CHUNK
+    Pc = _round_up(Pp, p_chunk)
+    if Pc != Pp:
+        pts = jnp.pad(pts, ((0, 0), (0, Pc - Pp)))
+        penalty = jnp.pad(penalty, ((0, 0), (0, Pc - Pp)),
+                          constant_values=np.float32(1e30))
+    vals = values.astype(jnp.float32)
+    if Pc != P:
+        vals = jnp.pad(vals, (0, Pc - P))
+    n_qblk, n_pchunk = Qp // q_block, Pc // p_chunk
+
+    d2c, idxc = pl.pallas_call(
+        functools.partial(_idw_topk_chunk_kernel, k=k, p_chunk=p_chunk),
+        grid=(n_qblk, n_pchunk),
+        in_specs=[
+            pl.BlockSpec((3, q_block), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, p_chunk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_chunk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k, q_block), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, q_block), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((n_pchunk, k, Qp), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pchunk, k, Qp), jnp.int32)),
+        cost_estimate=pl.CostEstimate(
+            flops=Qp * Pc * (9 + 3 * k),
+            bytes_accessed=4 * (3 * Qp + 4 * Pc + 2 * k * Qp * n_pchunk),
+            transcendentals=0,
+        ),
+    )(jnp.asarray(gp), pts, penalty)
+
+    # (n_pchunk, k, Qp) -> (Q, C) candidate tables, C = n_pchunk * k
+    d2t = d2c.reshape(n_pchunk * k, Qp).T[:Q]
+    idxt = idxc.reshape(n_pchunk * k, Qp).T[:Q]
+
+    inf = jnp.float32(np.inf)
+    w_sum = jnp.zeros((Q, 1), jnp.float32)
+    wv_sum = jnp.zeros((Q, 1), jnp.float32)
+    sel_idx = []
+    sel_w = []
+    for _ in range(k):
+        m = jnp.min(d2t, axis=1, keepdims=True)
+        tied = d2t == m
+        # Mosaic's argmin tie rule (measured on v5e at row widths 2048 and
+        # 4096): the HIGHEST lane (idx % 128) wins first, then the LOWEST
+        # 128-lane group (idx // 128) — i.e. a per-lane min reduce across
+        # vregs (first vreg wins per lane) followed by a last-lane argmin.
+        # Chunk boundaries are multiples of 2048, so lanes/groups are
+        # globally aligned and the in-chunk rounds already follow this total
+        # order; replaying it here makes the merged selection bit-consistent
+        # with the single-pass kernel even at distance ties.
+        big_i = jnp.int32(np.iinfo(np.int32).max)
+        lane = idxt % 128
+        grp = idxt // 128
+        l_max = jnp.max(jnp.where(tied, lane, -1), axis=1, keepdims=True)
+        tied = tied & (lane == l_max)
+        g_min = jnp.min(jnp.where(tied, grp, big_i), axis=1, keepdims=True)
+        tied = tied & (grp == g_min)
+        sel = jnp.max(jnp.where(tied, idxt, -1), axis=1, keepdims=True)
+        d2t = jnp.where(tied & (idxt == sel), inf, d2t)
+        w = _weight_from_d2(m, rho, tau)
+        w_sum = w_sum + w
+        wv_sum = wv_sum + w * vals[sel[:, 0]][:, None]
+        sel_idx.append(sel)
+        sel_w.append(w)
+    out = (wv_sum / (w_sum + 1e-12)).reshape(D, H, W)
+    sel_idx = jnp.concatenate(sel_idx, axis=1)                    # (Q, k)
+    w_norm = jnp.concatenate(sel_w, axis=1) / (w_sum + 1e-12)     # (Q, k)
+    return out, (sel_idx, w_norm)
 
 
 def _idw_bwd_kernel(gp_ref, pts_ref, penalty_ref, g_ref, dv_ref, *,
@@ -237,8 +392,13 @@ def idw_3d_knn_bwd_pallas(points_xyz, valid, g, out_shape, k=4, rho=2.0,
 
 
 def _idw_fwd(points_xyz, values, valid, out_shape, k, rho, tau, q_block):
-    out = _idw_forward(points_xyz, values, valid, out_shape, k, rho, tau, q_block)
-    return out, (points_xyz, valid)
+    if points_xyz.shape[0] > _P_SINGLE_PASS_MAX:
+        out, (sel_idx, w_norm) = _idw_forward_chunked(
+            points_xyz, values, valid, out_shape, k, rho, tau, q_block)
+        return out, (points_xyz, valid, (sel_idx, w_norm))
+    out = _idw_forward_single(points_xyz, values, valid, out_shape, k, rho,
+                              tau, q_block)
+    return out, (points_xyz, valid, None)
 
 
 def _idw_bwd(out_shape, k, rho, tau, q_block, residuals, g):
@@ -249,7 +409,18 @@ def _idw_bwd(out_shape, k, rho, tau, q_block, residuals, g):
     cotangents (the old XLA-vjp backward computed a real d_points chain
     that XLA dead-code-eliminated — after materializing (Q, P) candidate
     tensors in HBM)."""
-    points_xyz, valid = residuals
+    points_xyz, valid, chunk_res = residuals
+    if chunk_res is not None:
+        # chunked path: the forward already returned its own selection
+        # (indices + normalized weights), so d_values is an exact scatter —
+        # by construction tie-consistent with the compiled forward.
+        sel_idx, w_norm = chunk_res
+        P = points_xyz.shape[0]
+        Pc = _round_up(_round_up(max(P, 128), 128), _P_CHUNK)
+        g_flat = g.astype(jnp.float32).reshape(-1, 1)      # (Q, 1)
+        dv = jnp.zeros((Pc,), jnp.float32).at[sel_idx].add(
+            w_norm * g_flat, mode="drop")[:P]
+        return jnp.zeros_like(points_xyz), dv, None
     dv = idw_3d_knn_bwd_pallas(points_xyz, valid, g, out_shape, k=k, rho=rho,
                                tau=tau, q_block=q_block)
     return jnp.zeros_like(points_xyz), dv, None

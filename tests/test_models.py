@@ -174,3 +174,31 @@ def test_fold_for_inference_equivalence(rng):
     assert gen_eval.inference
     got = np.asarray(gen_eval.apply(folded, jnp.asarray(masked), jnp.asarray(masks)))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_from_config_idw_budget_covers_every_mask_type(rng):
+    """The static IDW point budget must bound the worst-case observed-point
+    count for EVERY mask family (masks.py draws interval/block randomly per
+    item); an undersized budget silently drops points in the static nonzero
+    gather. Regression for the stin/fi/nowcasting undercount."""
+    from p2igan_tpu.data.masks import create_mask_np
+    from p2igan_tpu.models import P2IGenerator
+
+    H = W = 64
+    T = 8
+    for mask_type in ("sti", "stin", "fi", "nowcasting"):
+        cfg = {"model": {"name": "p2igan", "base_channels": 4 * T},
+               "data": {"train": {"data_root": "x", "h": H, "w": W,
+                                  "sample_length": T,
+                                  "mask": {"type": mask_type, "keep": 4,
+                                           "block_sizes": [4],
+                                           "interval": [2, 5]}}}}
+        gen = P2IGenerator.from_config(cfg)
+        worst = 0
+        for seed in range(24):
+            m = create_mask_np((T, H, W, 1), np.random.default_rng(seed),
+                               mask_type, block_sizes=[4], keep=4,
+                               interval=[2, 5])
+            worst = max(worst, int(m.sum()))
+        assert gen.idw_max_points >= worst, (
+            f"{mask_type}: budget {gen.idw_max_points} < observed {worst}")

@@ -212,6 +212,12 @@ class ZarrWindowDataset(_MaskMixin):
         if H == self.crop_h and W == self.crop_w:
             y0 = x0 = 0
         else:
+            if H < self.crop_h or W < self.crop_w:
+                raise ValueError(
+                    f"train.zarr event '{self.event_keys[event_id]}' frames are "
+                    f"({H}, {W}) but data config asks for a ({self.crop_h}, "
+                    f"{self.crop_w}) crop; crop must not exceed the stored "
+                    f"frame size")
             y0 = int(rng.integers(0, H - self.crop_h + 1))
             x0 = int(rng.integers(0, W - self.crop_w + 1))
 

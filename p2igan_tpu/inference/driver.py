@@ -64,59 +64,38 @@ class SlidingWindowReconstructor:
         return bool(getattr(gen, "idw_factored", False)
                     and getattr(gen, "idw_shared_batch_mask", False))
 
-    def _build(self, T: int) -> Callable:
-        stride, step, wb = self.stride, self.step, self.window_batch
+    def _window_tables(self, T: int, E: int, pad_multiple: int):
+        """Flat (win_idx, tgt) tables for E equal-length events, padded to a
+        multiple of ``pad_multiple`` windows. Window w of event e reads frames
+        ``e*T + clamp(start+dt)`` (clamped gather == repeat-last-frame
+        padding) and scatters into segment ``e*(T+1) + t``; out-of-range
+        frames and padding windows hit the per-event sentinel slot T, which
+        the composer drops. Shared by all four compiled program variants
+        (single/multi x scan/sharded) so the sentinel and tie logic exists
+        exactly once."""
+        stride, step = self.stride, self.step
         starts = np.arange(0, T, step, dtype=np.int32)
         n_win = len(starts)
-        n_pad = _round_up(n_win, wb)
-        starts_p = np.concatenate([starts, np.full(n_pad - n_win, T, np.int32)])
-        # frame indices per window: clamped gather == repeat-last-frame padding
-        win_idx = np.minimum(starts_p[:, None] + np.arange(stride)[None, :], T - 1)
-        # accumulation targets: frames beyond the window's valid length (or from
-        # padding windows) go to the sentinel segment T and are dropped
-        tgt = starts_p[:, None] + np.arange(stride)[None, :]
-        tgt = np.where(tgt < T, tgt, T).astype(np.int32)
-        tgt = np.where(starts_p[:, None] < T, tgt, T)
+        n_all = _round_up(E * n_win, pad_multiple)
+        ev = np.repeat(np.arange(E, dtype=np.int32), n_win)
+        st = np.tile(starts, E)
+        ev = np.concatenate([ev, np.zeros(n_all - E * n_win, np.int32)])
+        st = np.concatenate([st, np.full(n_all - E * n_win, T, np.int32)])
+        frame = np.minimum(st[:, None] + np.arange(stride)[None, :], T - 1)
+        win_idx = (ev[:, None] * T + frame).astype(np.int32)
+        tgt = st[:, None] + np.arange(stride)[None, :]
+        tgt = np.where((tgt < T) & (st[:, None] < T), tgt, T)
+        tgt = (ev[:, None] * (T + 1) + tgt).astype(np.int32)
+        return win_idx, tgt
 
-        win_idx = win_idx.reshape(n_pad // wb, wb, stride)
-        tgt = tgt.reshape(n_pad // wb, wb, stride)
-        variables = self.variables
-        gen = self.generator
-        scale = self.output_scale
-        use_prep = self._supports_prepared_idw()
+    def _build(self, T: int) -> Callable:
+        """Single-event program: the E=1 case of the flattened multi-event
+        program (identical tables, chunks, and scatter-average)."""
+        inner = self._build_multi(T, 1)
 
         @jax.jit
         def reconstruct(masked: jax.Array, masks: jax.Array) -> jax.Array:
-            H, W, C = masked.shape[1:]
-            # stis masks are one spatial pattern for the whole event: the
-            # mask-derived gauge selection runs ONCE here, not inside every
-            # scan step (XLA cannot hoist it through the windowed gather)
-            prep = gen.prepare_idw(masks[0, :, :, 0]) if use_prep else None
-
-            def chunk(carry, inp):
-                accum, count = carry
-                idx, seg = inp  # (wb, stride), (wb, stride)
-                wm = masked[idx]    # (wb, stride, H, W, C)
-                wk = masks[idx]
-                if use_prep:
-                    preds = gen.apply(variables, wm, wk, idw_prepared=prep)
-                else:
-                    preds = gen.apply(variables, wm, wk)
-                preds = preds.astype(jnp.float32)
-                flat_seg = seg.reshape(-1)
-                flat_pred = preds.reshape(-1, H, W, C)
-                accum = accum.at[flat_seg].add(flat_pred)
-                count = count.at[flat_seg].add(
-                    jnp.where(flat_seg < T, 1.0, 0.0))
-                return (accum, count), None
-
-            accum0 = jnp.zeros((T + 1, H, W, C), jnp.float32)
-            count0 = jnp.zeros((T + 1,), jnp.float32)
-            (accum, count), _ = jax.lax.scan(
-                chunk, (accum0, count0), (jnp.asarray(win_idx), jnp.asarray(tgt)))
-            comp = accum[:T] / jnp.maximum(count[:T, None, None, None], 1e-5)
-            comp = comp * scale
-            return jnp.clip(comp, 0.0, None)
+            return inner(masked[None], masks[None])[0]
 
         return reconstruct
 
@@ -136,23 +115,10 @@ class SlidingWindowReconstructor:
         straight vmap of the event program was measured 25% slower), only
         dispatch and loop overheads amortize.
         """
-        stride, step, wb = self.stride, self.step, self.window_batch
-        starts = np.arange(0, T, step, dtype=np.int32)
-        n_win = len(starts)
-        n_all = _round_up(E * n_win, wb)
-        # window w of event e reads frames e*T + clamp(start+dt), scatters to
-        # segment e*(T+1) + t (with per-event sentinel slot T)
-        ev = np.repeat(np.arange(E, dtype=np.int32), n_win)
-        st = np.tile(starts, E)
-        ev = np.concatenate([ev, np.zeros(n_all - E * n_win, np.int32)])
-        st = np.concatenate([st, np.full(n_all - E * n_win, T, np.int32)])
-        frame = np.minimum(st[:, None] + np.arange(stride)[None, :], T - 1)
-        win_idx = ev[:, None] * T + frame
-        tgt = st[:, None] + np.arange(stride)[None, :]
-        tgt = np.where((tgt < T) & (st[:, None] < T), tgt, T)
-        tgt = ev[:, None] * (T + 1) + tgt
-        win_idx = win_idx.reshape(n_all // wb, wb, stride)
-        tgt = tgt.reshape(n_all // wb, wb, stride).astype(np.int32)
+        stride, wb = self.stride, self.window_batch
+        win_idx, tgt = self._window_tables(T, E, wb)
+        win_idx = win_idx.reshape(-1, wb, stride)
+        tgt = tgt.reshape(-1, wb, stride)
 
         variables = self.variables
         gen = self.generator
@@ -212,47 +178,15 @@ class SlidingWindowReconstructor:
         return fn
 
     def _build_sharded(self, T: int, mesh) -> Callable:
-        """Window-parallel reconstruction: an event's windows sharded over the
-        mesh ``data`` axis (this workload's analogue of context parallelism,
-        replacing the reference's sequential window loop). All windows run in
-        one vmapped generator call; the overlap scatter-average's cross-device
-        reduction is inserted by GSPMD from the sharding annotations.
-        """
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        stride, step = self.stride, self.step
-        n_dev = int(np.prod(mesh.devices.shape))
-        starts = np.arange(0, T, step, dtype=np.int32)
-        n_win = len(starts)
-        n_pad = _round_up(n_win, n_dev)
-        starts_p = np.concatenate([starts, np.full(n_pad - n_win, T, np.int32)])
-        win_idx = np.minimum(starts_p[:, None] + np.arange(stride)[None, :], T - 1)
-        tgt = starts_p[:, None] + np.arange(stride)[None, :]
-        tgt = np.where((tgt < T) & (starts_p[:, None] < T), tgt, T).astype(np.int32)
-        variables = self.variables
-        gen = self.generator
-        scale = self.output_scale
-        shard = NamedSharding(mesh, P("data"))
-        use_prep = self._supports_prepared_idw()
+        """Window-parallel reconstruction of ONE event over the mesh ``data``
+        axis (this workload's analogue of context parallelism, replacing the
+        reference's sequential window loop): the E=1 case of the sharded
+        multi-event program."""
+        inner = self._build_sharded_multi(T, 1, mesh)
 
         @jax.jit
         def reconstruct(masked: jax.Array, masks: jax.Array) -> jax.Array:
-            H, W, C = masked.shape[1:]
-            prep = gen.prepare_idw(masks[0, :, :, 0]) if use_prep else None
-            wm = jax.lax.with_sharding_constraint(masked[jnp.asarray(win_idx)], shard)
-            wk = jax.lax.with_sharding_constraint(masks[jnp.asarray(win_idx)], shard)
-            if use_prep:
-                preds = gen.apply(variables, wm, wk, idw_prepared=prep)
-            else:
-                preds = gen.apply(variables, wm, wk)
-            preds = preds.astype(jnp.float32)
-            flat_seg = jnp.asarray(tgt).reshape(-1)
-            accum = jnp.zeros((T + 1, H, W, C), jnp.float32)
-            accum = accum.at[flat_seg].add(preds.reshape(-1, H, W, C))
-            count = jnp.zeros((T + 1,), jnp.float32).at[flat_seg].add(
-                jnp.where(flat_seg < T, 1.0, 0.0))
-            comp = accum[:T] / jnp.maximum(count[:T, None, None, None], 1e-5)
-            return jnp.clip(comp * scale, 0.0, None)
+            return inner(masked[None], masks[None])[0]
 
         return reconstruct
 
@@ -260,23 +194,12 @@ class SlidingWindowReconstructor:
         """E equal-length events over a device mesh: ALL events' windows
         flatten into one stream sharded over the ``data`` axis (the
         multi-chip serving path — event x window parallelism in one program;
-        GSPMD inserts the overlap-average reduction)."""
+        GSPMD inserts the overlap-average reduction). All windows run in one
+        vmapped generator call instead of the scan-chunked stream."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        stride, step = self.stride, self.step
         n_dev = int(np.prod(mesh.devices.shape))
-        starts = np.arange(0, T, step, dtype=np.int32)
-        n_win = len(starts)
-        n_all = _round_up(E * n_win, n_dev)
-        ev = np.repeat(np.arange(E, dtype=np.int32), n_win)
-        st = np.tile(starts, E)
-        ev = np.concatenate([ev, np.zeros(n_all - E * n_win, np.int32)])
-        st = np.concatenate([st, np.full(n_all - E * n_win, T, np.int32)])
-        frame = np.minimum(st[:, None] + np.arange(stride)[None, :], T - 1)
-        win_idx = ev[:, None] * T + frame
-        tgt = st[:, None] + np.arange(stride)[None, :]
-        tgt = np.where((tgt < T) & (st[:, None] < T), tgt, T)
-        tgt = (ev[:, None] * (T + 1) + tgt).astype(np.int32)
+        win_idx, tgt = self._window_tables(T, E, n_dev)
 
         variables = self.variables
         gen = self.generator
@@ -378,8 +301,7 @@ class SlidingWindowReconstructor:
         out = np.asarray(fn(jnp.asarray(masked), jnp.asarray(masks)))
         return out[:, :T]
 
-    def __call__(self, masked: np.ndarray, masks: np.ndarray,
-                 true_length: Optional[int] = None) -> np.ndarray:
+    def __call__(self, masked: np.ndarray, masks: np.ndarray) -> np.ndarray:
         """masked/masks: (T, H, W, C) -> reconstructed (T, H, W, C) float32."""
         T = masked.shape[0]
         Tb = _round_up(max(T, self.stride), self.t_bucket)
@@ -428,6 +350,15 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
     test_loader = data_module.test_dataloader()
     if test_loader is None:
         raise RuntimeError("Test dataloader is not configured. Ensure data.test exists.")
+    if getattr(test_loader, "shuffle", False):
+        # Output events are keyed event_%02d by iteration position and the
+        # pass>1 running mean folds pass k's batch i into event i; a shuffled
+        # loader would misattribute predictions (and average different events
+        # together), so inference always walks the dataset in file order.
+        # Per-pass mask re-draws are unaffected: item RNG is (seed, epoch, idx).
+        logging.warning("data.test.shuffle is ignored during inference; "
+                        "events are written in dataset order")
+        test_loader.shuffle = False
     dataset = test_loader.dataset
     num_samples = len(dataset)
     if num_samples == 0:

@@ -19,8 +19,14 @@ def value_range(gt: np.ndarray, pred: np.ndarray, scale: str = "joint",
                 vmax: float | None = None) -> Tuple[float, float]:
     """Color-scale policy of the reference's example images: fixed bounds,
     GT-derived, or the joint min/max of both sequences."""
-    if scale == "fixed" and vmin is not None:
+    if scale == "fixed" and vmin is not None and vmax is not None:
         return float(vmin), float(vmax)
+    if scale == "fixed":
+        # only one bound configured: fill the other from the data so a
+        # half-specified viz config degrades instead of crashing the epoch
+        lo = float(vmin) if vmin is not None else float(min(gt.min(), pred.min()))
+        hi = float(vmax) if vmax is not None else float(max(gt.max(), pred.max()))
+        return lo, hi
     if scale == "gt":
         return float(gt.min()), float(gt.max())
     return (float(min(gt.min(), pred.min())),

@@ -210,23 +210,52 @@ class Trainer:
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, lookahead))
         _END = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # Bounded put that gives up when the consumer is gone (e.g. the
+            # epoch loop broke at max_steps): otherwise the worker would
+            # block forever holding `lookahead` device batches in HBM and
+            # the loader's thread pool would never shut down.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
-                for batch in loader:
-                    q.put(self._put_batch(batch))
-                q.put(_END)
+                it = iter(loader)
+                try:
+                    for batch in it:
+                        if not _put(self._put_batch(batch)):
+                            return
+                finally:
+                    close = getattr(it, "close", None)
+                    if close is not None:
+                        close()  # unwind the loader's executor context
+                _put(_END)
             except BaseException as e:  # propagate into the training thread
-                q.put(e)
+                _put(e)
 
         threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # release buffered device batches
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     # ------------------------------------------------------------------
     def train(self) -> None:
@@ -251,11 +280,16 @@ class Trainer:
                     self.tracker.log_metric("val/loss", val_loss, step=self.global_step)
                     logging.info("Validation done | val_loss=%.4f", val_loss)
 
+                # fold this epoch's validation into the watermark BEFORE
+                # saving latest.ckpt so a resume-from-latest can't overwrite
+                # best.ckpt with a worse epoch
+                is_best = val_loss < self.best_val
+                if is_best:
+                    self.best_val = val_loss
                 latest = self.save_dir / "latest.ckpt"
                 self._save(latest, epoch)
                 self.tracker.log_artifact(str(latest))
-                if val_loss < self.best_val:
-                    self.best_val = val_loss
+                if is_best:
                     best = self.save_dir / "best.ckpt"
                     self._save(best, epoch)
                     self.tracker.log_artifact(str(best))
@@ -380,6 +414,7 @@ class Trainer:
         payload = {
             "epoch": epoch,
             "global_step": self.global_step,
+            "best_val": self.best_val,
             "generator": {"params": state.gen_params, "extra": state.gen_extra},
             "optimizer_g": state.opt_g,
         }
@@ -411,4 +446,10 @@ class Trainer:
                 opt_d=restore(state.opt_d, raw["optimizer_d"]),
             )
         self.global_step = int(raw.get("global_step", 0))
+        # Restore the best-validation watermark (older checkpoints lack it)
+        # so a resumed run can't clobber best.ckpt with a worse epoch, and
+        # keep TrainState.step consistent with the global counter.
+        if "best_val" in raw:
+            self.best_val = float(raw["best_val"])
+        new = new.replace(step=jnp.asarray(self.global_step, jnp.int32))
         self.state = jax.device_put(new, replicated_sharding(self.mesh))

@@ -189,3 +189,20 @@ def test_preprocess_cli_builds_train_zarr(tmp_path):
     video, masked, mask = ds.__getitem__(0, rng=np.random.default_rng(1))
     assert video.shape == (4, 16, 16, 1)
     np.testing.assert_array_equal(masked, video * mask)
+
+
+def test_zarr_window_dataset_rejects_oversized_crop(tmp_path):
+    """A crop larger than the stored frames must raise a named ValueError
+    instead of a cryptic rng.integers(low >= high) inside a worker."""
+    import pytest
+
+    from p2igan_tpu.data import fake
+    from p2igan_tpu.data.stores import ZarrWindowDataset
+
+    root = fake.write_train_zarr(tmp_path / "train.zarr", n_events=1, T=6,
+                                 H=16, W=16, window=4)
+    ds = ZarrWindowDataset({"data_root": str(root), "h": 32, "w": 32,
+                            "sample_length": 4,
+                            "mask": {"type": "sti", "block_sizes": [4]}})
+    with pytest.raises(ValueError, match="crop"):
+        ds[0]

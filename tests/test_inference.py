@@ -90,6 +90,16 @@ def test_run_inference_end_to_end(tmp_path, monkeypatch):
     assert ev.min() >= 0.0
     assert np.isfinite(ev).all()
 
+    # data.test.shuffle must be ignored during inference: event_%02d keys and
+    # the pass>1 running mean are positional, so a shuffled loader would
+    # misattribute events. Forced-off shuffle => identical outputs.
+    cfg["data"]["test"]["shuffle"] = True
+    out2 = run_inference(cfg, stride=4, overlap=2, passes=2,
+                         output=str(tmp_path / "shuffled.zarr"), overwrite=True)
+    g2 = zarrlite.open(out2, mode="r")
+    for key in keys:
+        np.testing.assert_array_equal(g[key][:], g2[key][:])
+
 
 def test_run_inference_batched_events_matches_sequential(tmp_path, monkeypatch):
     """batch_events>1 groups equal-bucket events through recon.batch; outputs

@@ -125,3 +125,17 @@ def test_plots_example_image():
     assert grid.shape == (16, 24, 3) and grid.dtype == np.uint8
     img = plots.example_image(gt, pred)
     assert img.size == (24, 16)
+
+
+def test_value_range_partial_fixed_bounds():
+    """scale='fixed' with only one bound configured fills the other from the
+    data instead of crashing epoch-end artifact logging on float(None)."""
+    import numpy as np
+
+    from p2igan_tpu.metrics.plots import value_range
+
+    gt = np.asarray([[0.1, 0.4]])
+    pred = np.asarray([[0.2, 0.9]])
+    assert value_range(gt, pred, scale="fixed", vmin=0.0) == (0.0, 0.9)
+    assert value_range(gt, pred, scale="fixed", vmax=1.0) == (0.1, 1.0)
+    assert value_range(gt, pred, scale="fixed", vmin=0.0, vmax=2.0) == (0.0, 2.0)

@@ -64,6 +64,10 @@ def test_simple_gan_training_and_resume(data_root, monkeypatch):
     tr2 = Trainer(cfg)
     tr2.load(str(data_root / "weights_gan" / "latest.ckpt"))
     assert tr2.global_step == tr.global_step
+    # resume must restore the best-val watermark (so a worse first epoch
+    # can't overwrite best.ckpt) and keep TrainState.step in sync
+    assert tr2.best_val == tr.best_val
+    assert int(tr2.state.step) == tr2.global_step
     p1 = np.asarray(tr2.state.gen_params["enc0"]["kernel"])
     np.testing.assert_array_equal(np.asarray(tr.state.gen_params["enc0"]["kernel"]), p1)
 
@@ -256,3 +260,29 @@ def test_dk_family_training_runs(data_root, monkeypatch, model, tmp_path):
     tr.train()
     assert tr.global_step >= 2
     assert (tmp_path / "weights" / "latest.ckpt").exists()
+
+
+def test_device_prefetch_releases_worker_on_early_break():
+    """Breaking out of the epoch loop (max_steps mid-epoch) must not leave
+    the prefetch worker blocked on a full queue holding device batches."""
+    import threading
+    import time
+
+    from p2igan_tpu.training.trainer import Trainer
+
+    class _Host:
+        _put_batch = staticmethod(lambda batch: batch)
+
+    loader = [np.zeros(2) for _ in range(32)]
+    before = {t.ident for t in threading.enumerate()}
+    gen = Trainer._device_prefetch(_Host(), loader, lookahead=2)
+    next(gen)
+    gen.close()  # == `break` in the consuming for-loop
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"prefetch worker still alive: {extra}"

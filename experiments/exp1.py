@@ -240,9 +240,38 @@ def apply_mask_mode(pred: np.ndarray, gt: np.ndarray, mask: np.ndarray,
             "gt": select_by_mask(gt, mask, invert=invert)}
 
 
-def _concat_events(events: Dict[str, np.ndarray], keys) -> np.ndarray:
-    chunks = [ensure_thw(events[k]) for k in keys if events.get(k) is not None]
-    return np.concatenate(chunks, axis=0) if chunks else np.empty((0,))
+def _pair_method(name: str, src: ArrayOrEvents,
+                 truth_events: Dict[str, np.ndarray],
+                 keys) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(pred, truth) frame stacks with event-wise correspondence.
+
+    Alignment happens PER EVENT: a method store missing an event (or holding
+    a shorter prediction) drops/truncates that event's truth for THAT method
+    only, with a warning — a global tail-truncate after concatenation would
+    silently score later events against the wrong truth frames."""
+    import logging
+
+    if not isinstance(src, dict):
+        # pre-concatenated flat prediction array: pair against the full
+        # truth concatenation (legacy layout; still reported)
+        full = np.concatenate([truth_events[k] for k in keys], axis=0)
+        return align_length(ensure_thw(src), full)
+    pred_chunks, truth_chunks = [], []
+    for k in keys:
+        pv = src.get(k)
+        if pv is None:
+            logging.warning("exp1: method %r has no event %r; event excluded "
+                            "from its scores", name, k)
+            continue
+        p, t = align_length(ensure_thw(pv), truth_events[k])
+        pred_chunks.append(p)
+        truth_chunks.append(t)
+    if not pred_chunks:
+        logging.warning("exp1: method %r shares no events with the truth "
+                        "store; skipped", name)
+        return None
+    return (np.concatenate(pred_chunks, axis=0),
+            np.concatenate(truth_chunks, axis=0))
 
 
 # --------------------------------------------------------------------------
@@ -273,22 +302,31 @@ def run_exp1(preds: Dict[str, ArrayOrEvents],
     cropped truth, then cropped (reference exp1.py:191-242 ordering).
     """
     if isinstance(truth, dict):
-        keys = list(truth.keys())
+        truth_events = {k: ensure_thw(v) for k, v in truth.items()
+                        if v is not None}
+        keys = list(truth_events.keys())
         if not keys:
             return {}
-        per_method = {name: _concat_events(src, keys)
-                      for name, src in preds.items() if isinstance(src, dict)}
-        truth = _concat_events({k: ensure_thw(v) for k, v in truth.items()
-                                if v is not None}, keys)
-        preds = per_method
-
-    truth = crop_center(transform_mmhr(truth, divide_by_3=divide_by_3), crop_size)
+        paired = {}
+        for name, src in preds.items():
+            pt = _pair_method(name, src, truth_events, keys)
+            if pt is not None:
+                paired[name] = pt
+    else:
+        t_full = ensure_thw(truth)
+        paired = {name: align_length(ensure_thw(src), t_full)
+                  for name, src in preds.items()}
 
     report: Dict[str, Dict[str, float]] = {}
-    for name, raw in preds.items():
-        pred = transform_mmhr(raw, divide_by_3=divide_by_3)
-        pred, truth_t = align_length(pred, truth)
-        pred = crop_center(pred, crop_size)
+    for name, (pred_raw, truth_raw) in paired.items():
+        # reference quirk preserved: truth transformed+cropped, prediction
+        # transformed, length-aligned (now per event, above), then cropped.
+        # transform is elementwise and crop spatial, so they commute with
+        # the temporal alignment — values identical to the reference order.
+        truth_t = crop_center(transform_mmhr(truth_raw, divide_by_3=divide_by_3),
+                              crop_size)
+        pred = crop_center(transform_mmhr(pred_raw, divide_by_3=divide_by_3),
+                           crop_size)
         sel = apply_mask_mode(pred, truth_t, mask, mode)
 
         row: Dict[str, float] = {k: fn(sel["pred"], sel["gt"])

@@ -21,7 +21,8 @@ from PIL import Image
 from p2igan_tpu.data import zarrlite
 
 from .exp1 import transform_mmhr
-from .io import align_length, crop_center, ensure_dir, ensure_thw, load_mask, save_text
+from .io import (align_length, center_square, crop_center, ensure_dir,
+                 ensure_thw, load_mask, save_text)
 
 # Bounded paper palette: anchors at rain-rate boundaries, 20-step gradients.
 PAPER_BOUNDS = [0, 0.5, 1, 2, 4, 8, 16, 200]
@@ -66,12 +67,13 @@ def build_paper_cmap():
         h = h.lstrip("#")
         return tuple(int(h[i:i + 2], 16) / 255.0 for i in (0, 2, 4))
 
+    # Each anchor in PAPER_BOUNDS must itself be a boundary so color-class
+    # transitions land exactly on the labeled colorbar ticks: SUB+1 points
+    # per segment INCLUDING both ends, shared anchors deduplicated.
     fine_bounds: List[float] = []
     for i in range(len(PAPER_BOUNDS) - 1):
-        seg = np.linspace(PAPER_BOUNDS[i], PAPER_BOUNDS[i + 1], PAPER_SUB + 1,
-                          endpoint=False)
+        seg = np.linspace(PAPER_BOUNDS[i], PAPER_BOUNDS[i + 1], PAPER_SUB + 1)
         fine_bounds.extend(seg.tolist() if i == 0 else seg[1:].tolist())
-    fine_bounds.append(PAPER_BOUNDS[-1])
     fine_bounds = np.asarray(fine_bounds, float)
 
     rgb = [hex_to_rgb01(h) for h in PAPER_COLORS]
@@ -183,11 +185,14 @@ def run_exp2(preds: Dict[str, Union[str, np.ndarray]],
              max_frames: int = 30) -> None:
     """Per-event combo GIFs (reference run_exp2, exp2.py:160-265)."""
     ensure_dir(out_dir)
+    if frames is not None:
+        # caller-configured frame cap overrides the default GIF length
+        max_frames = min(max_frames, int(frames))
     input_label = "Gauge" if mode == "gauge" else "Input"
     truth_label = "Radar" if mode == "gauge" else "Truth"
     cmap, norm, _ = build_paper_cmap()
 
-    def one_event(event_key, truth_ev, obs_ev, pred_getter, out_name, title):
+    def one_event(truth_ev, obs_ev, pred_getter, out_name, title):
         truth_ev = crop_center(transform_mmhr(truth_ev, divide_by_3), crop_size)[:max_frames]
         obs_ev = crop_center(transform_mmhr(obs_ev, divide_by_3), crop_size)[:max_frames]
         masked_input = obs_ev * mask_train.astype(bool)[None, ...]
@@ -216,27 +221,20 @@ def run_exp2(preds: Dict[str, Union[str, np.ndarray]],
                 src = preds[name]
                 return load_event_array(src, _k) if isinstance(src, str) else src
 
-            total = one_event(event_key, truth_ev, obs_ev, getter,
+            total = one_event(truth_ev, obs_ev, getter,
                               f"comparison_{event_key}.gif",
                               f"{event_key} | total frames")
             range_lines.append(f"{event_key}: frames 1-{total} (count={total})")
         save_text(os.path.join(out_dir, "event_ranges.txt"), range_lines)
         return
 
-    one_event("event_01", np.asarray(truth), np.asarray(observation),
+    one_event(np.asarray(truth), np.asarray(observation),
               lambda name: np.asarray(preds[name]), "comparison_event_01.gif",
               "Event 01 | total frames")
 
 
 def event_key_name(event_id: int) -> str:
     return f"event_{int(event_id):02d}"
-
-
-def _center_crop2d(arr: np.ndarray, size: int) -> np.ndarray:
-    h, w = arr.shape
-    top = (h - size) // 2
-    left = (w - size) // 2
-    return arr[top:top + size, left:left + size]
 
 
 def _draw_block(ax_grid, images, method_order, mask, mask_points, cmap, norm):
@@ -328,7 +326,7 @@ def run_exp2_paper_zarr(observation_path: str,
     """Paper panels from zarr stores (reference run_exp2_paper_zarr)."""
     ensure_dir(out_dir)
     cmap, norm, _ = build_paper_cmap()
-    mask = _center_crop2d(load_mask(mask_path), crop_size)
+    mask = center_square(load_mask(mask_path), crop_size)
     mask_points = np.argwhere(mask == 1)
     if method_order is None:
         method_order = tuple(["RadarMasked", "Nimrod"] + list(methods.keys()))
@@ -377,7 +375,7 @@ def run_exp2_paper(folders: Dict[str, str],
     """Paper panels from per-method PNG folders (reference run_exp2_paper)."""
     ensure_dir(out_dir)
     cmap, norm, _ = build_paper_cmap()
-    mask = _center_crop2d(load_mask(mask_path), crop_size)
+    mask = center_square(load_mask(mask_path), crop_size)
     mask_points = np.argwhere(mask == 1)
     method_order = list(method_order)
     events = list(events)
@@ -402,7 +400,7 @@ def run_exp2_paper(folders: Dict[str, str],
                 if path and os.path.isfile(path):
                     arr = np.array(Image.open(path).convert("F")).astype(np.float32) / 3.0
                     arr = 10 ** (arr * 0.0625) * 0.036
-                    frames.append(_center_crop2d(arr, crop_size))
+                    frames.append(center_square(arr, crop_size))
                 else:
                     frames.append(np.zeros((crop_size, crop_size), np.float32))
             images.append(frames)

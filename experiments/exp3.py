@@ -69,12 +69,6 @@ def _subsample(x, y, max_points, rng):
     return x, y
 
 
-def _panel_base(pred_list, true, min_value):
-    tf = np.asarray(true, np.float64).ravel()
-    mask_t = np.isfinite(tf)
-    return tf[mask_t], mask_t
-
-
 def _fit_and_annotate(ax, x, y, lim_x):
     from scipy import stats
 
@@ -99,17 +93,21 @@ def scatter_panels(pred_list, true, labels, save_path, lim=(0, 32),
     fig, axes = plt.subplots(1, n, figsize=(18, 3), dpi=200)
     if n == 1:
         axes = [axes]
-    tf, mask_t = _panel_base(pred_list, true, min_value)
-    if tf.size == 0:
+    # `true` is either one shared observation array or a per-method list of
+    # paired truths (methods with missing events carry their own pairing)
+    trues = list(true) if isinstance(true, (list, tuple)) else [true] * n
+    if n == 0 or all(np.asarray(t).size == 0 for t in trues):
         plt.close(fig)
         return
     for i, (pred, label) in enumerate(zip(pred_list, labels)):
         ax = axes[i]
+        tf = np.asarray(trues[i], np.float64).ravel()
         pf = np.asarray(pred, np.float64).ravel()
-        pf = pf[mask_t[:pf.size]] if pf.size <= mask_t.size else pf
-        m = np.isfinite(pf) & np.isfinite(tf[:pf.size])
-        x = tf[:pf.size][m]
-        yv = pf[m] - tf[:pf.size][m] if residual else pf[m]
+        k = min(tf.size, pf.size)
+        tf, pf = tf[:k], pf[:k]
+        m = np.isfinite(pf) & np.isfinite(tf)
+        x = tf[m]
+        yv = pf[m] - tf[m] if residual else pf[m]
         keep = x >= min_value
         x, yv = _subsample(x[keep], yv[keep], max_points, rng)
         ax.scatter(x, yv, s=s, alpha=alpha, color=SCATTER_COLORS[i % 6],
@@ -210,30 +208,39 @@ def _per_event_pass(preds: Dict[str, Dict[str, np.ndarray]],
                     truth: Dict[str, np.ndarray], mask: np.ndarray, mode: str,
                     crop_size: int):
     """Walk events once: per-event NSE scores + transformed/cropped
-    concatenations for the aggregate metrics and plots."""
+    per-method (pred, truth) pairs for the aggregate metrics and plots.
+
+    Pairing is PER EVENT and per method: a method store missing an event (or
+    holding a shorter prediction) drops/truncates that event's truth for
+    that method only — concatenating full truth against gap-skipped
+    predictions would silently score later events against the wrong truth
+    frames, and the per-event alignment must not leak into other methods."""
+    import logging
+
     scores: Dict[str, List[float]] = {name: [] for name in preds}
     chunks: Dict[str, List[np.ndarray]] = {name: [] for name in preds}
-    truth_chunks: List[np.ndarray] = []
+    truth_by: Dict[str, List[np.ndarray]] = {name: [] for name in preds}
 
     for key, truth_ev in truth.items():
         if truth_ev is None:
             continue
         truth_ev = crop_center(transform_mmhr(truth_ev), crop_size)
-        truth_chunks.append(truth_ev)
         for name, src in preds.items():
             if not isinstance(src, dict) or src.get(key) is None:
+                logging.warning("exp3: method %r has no event %r; event "
+                                "excluded from its aggregates", name, key)
                 continue
             pred_ev = transform_mmhr(src[key])
             pred_ev, truth_al = align_length(pred_ev, truth_ev)
             pred_ev = crop_center(pred_ev, crop_size)
             scores[name].append(_event_nse_score(pred_ev, truth_al, mask, mode))
             chunks[name].append(pred_ev)
-            truth_ev = truth_al
+            truth_by[name].append(truth_al)
 
     cat = lambda lst: np.concatenate(lst, axis=0) if lst else np.empty((0,))  # noqa: E731
-    return (cat(truth_chunks),
-            {name: cat(lst) for name, lst in chunks.items()},
-            scores)
+    paired = {name: (cat(chunks[name]), cat(truth_by[name]))
+              for name in preds if chunks[name]}
+    return paired, scores
 
 
 def run_exp3(preds: Dict[str, Union[np.ndarray, Dict[str, np.ndarray]]],
@@ -248,31 +255,37 @@ def run_exp3(preds: Dict[str, Union[np.ndarray, Dict[str, np.ndarray]]],
     ensure_dir(out_dir)
 
     if isinstance(truth, dict):
-        truth, preds, nse_by_method = _per_event_pass(preds, truth, mask,
-                                                      mode, crop_size)
+        paired, nse_by_method = _per_event_pass(preds, truth, mask, mode,
+                                                crop_size)
+        truth_flat = np.concatenate(
+            [crop_center(transform_mmhr(ev), crop_size).ravel()
+             for ev in truth.values() if ev is not None]) \
+            if any(ev is not None for ev in truth.values()) else np.empty((0,))
     else:
         nse_by_method = {}
         truth = crop_center(transform_mmhr(truth), crop_size)
-        preds = {name: crop_center(align_length(transform_mmhr(p), truth)[0],
-                                   crop_size)
-                 for name, p in preds.items()}
+        paired = {}
+        for name, p in preds.items():
+            pr, tr = align_length(transform_mmhr(p), truth)
+            paired[name] = (crop_center(pr, crop_size), tr)
+        truth_flat = truth.ravel()
 
     metrics: Dict[str, float] = {}
     pred_list: List[np.ndarray] = []
-    for name, pred in preds.items():
-        pred, truth_al = align_length(pred, truth)
+    truth_list: List[np.ndarray] = []
+    for name, (pred, truth_al) in paired.items():
         p_sel, g_sel = _select_values(pred, truth_al, mask, mode)
         metrics[f"NSE_{name}"] = nse(p_sel, g_sel)
         pred_list.append(pred.ravel())
+        truth_list.append(truth_al.ravel())
 
-    labels = list(preds.keys())
-    gt_flat = truth.ravel()
+    labels = list(paired.keys())
     figure = lambda fname: os.path.join(out_dir, fname)  # noqa: E731
-    scatter_panels(pred_list, gt_flat, labels, figure("scatter_panels.pdf"),
+    scatter_panels(pred_list, truth_list, labels, figure("scatter_panels.pdf"),
                    residual=False)
-    scatter_panels(pred_list, gt_flat, labels, figure("residual_panels.pdf"),
+    scatter_panels(pred_list, truth_list, labels, figure("residual_panels.pdf"),
                    residual=True)
     if nse_by_method:
         nse_boxplot(nse_by_method, figure("nse_boxplot.pdf"))
-        logfreq_plot(pred_list, gt_flat, labels, figure("logfreq.pdf"))
+        logfreq_plot(pred_list, truth_flat, labels, figure("logfreq.pdf"))
     return metrics

@@ -16,30 +16,41 @@
 #include <cstdlib>
 #include <vector>
 
-// Declare the codec entry points directly (dev headers for blosc are not
-// installed; link against the sonames).
+#include <zlib.h>
+
+// Declare the remaining codec entry points directly (dev headers for blosc
+// are not installed; link against the sonames).
 extern "C" {
 size_t ZSTD_decompress(void* dst, size_t dstCap, const void* src, size_t srcSize);
 unsigned ZSTD_isError(size_t code);
 size_t ZSTD_compressBound(size_t srcSize);
 size_t ZSTD_compress(void* dst, size_t dstCap, const void* src, size_t srcSize, int level);
 int blosc_decompress_ctx(const void* src, void* dest, size_t destsize, int numinternalthreads);
-int uncompress(unsigned char* dest, unsigned long* destLen,
-               const unsigned char* source, unsigned long sourceLen);
 }
 
 namespace {
 
 enum Codec { RAW = 0, ZLIB = 1, ZSTD = 2, BLOSC = 3 };
 
-// Read an entire file; returns bytes read or -1.
+// Read an entire file; returns bytes read or -1. Must never throw: this
+// runs inside an OpenMP parallel region, where an escaping exception calls
+// std::terminate and kills the host process instead of falling back to the
+// Python reader.
 long read_file(const char* path, std::vector<uint8_t>& buf) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    std::fseek(f, 0, SEEK_END);
-    long n = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    buf.resize(static_cast<size_t>(n));
+    long n = -1;
+    if (std::fseek(f, 0, SEEK_END) == 0) n = std::ftell(f);
+    if (n < 0 || std::fseek(f, 0, SEEK_SET) != 0) {
+        std::fclose(f);
+        return -1;
+    }
+    try {
+        buf.resize(static_cast<size_t>(n));
+    } catch (...) {
+        std::fclose(f);
+        return -1;
+    }
     size_t got = n > 0 ? std::fread(buf.data(), 1, static_cast<size_t>(n), f) : 0;
     std::fclose(f);
     return static_cast<long>(got);
@@ -52,8 +63,21 @@ int decode(const uint8_t* src, size_t src_n, uint8_t* dst, size_t dst_n, int cod
             std::memcpy(dst, src, dst_n);
             return 0;
         case ZLIB: {
-            unsigned long out_n = dst_n;
-            return uncompress(dst, &out_n, src, src_n) == 0 && out_n == dst_n ? 0 : -1;
+            // windowBits 15+32: auto-detect zlib (RFC 1950) vs gzip
+            // (RFC 1952) framing — the Python side maps both codec ids
+            // ("zlib", "gzip") onto this case, and plain uncompress()
+            // rejects gzip-framed chunks outright.
+            z_stream zs;
+            std::memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, 15 + 32) != Z_OK) return -1;
+            zs.next_in = const_cast<Bytef*>(src);
+            zs.avail_in = static_cast<uInt>(src_n);
+            zs.next_out = dst;
+            zs.avail_out = static_cast<uInt>(dst_n);
+            int r = inflate(&zs, Z_FINISH);
+            size_t out_n = zs.total_out;
+            inflateEnd(&zs);
+            return (r == Z_STREAM_END && out_n == dst_n) ? 0 : -1;
         }
         case ZSTD: {
             size_t r = ZSTD_decompress(dst, dst_n, src, src_n);
@@ -128,23 +152,6 @@ int p2io_read_window_u8(const char** paths, const int32_t* chunk_idx,
                     ((t - t0) * wy + (y - y0)) * static_cast<int64_t>(wx) + (ax0 - x0);
                 std::memcpy(dst, src, static_cast<size_t>(span_x));
             }
-        }
-    }
-    return status;
-}
-
-// Batch-decompress independent buffers in parallel (generic codec core).
-// srcs/src_ns: n buffers; dsts all dst_n bytes. Returns 0 or -1.
-int p2io_decompress_batch(const uint8_t** srcs, const int64_t* src_ns,
-                          int32_t n, uint8_t** dsts, int64_t dst_n,
-                          int32_t codec) {
-    int status = 0;
-#pragma omp parallel for schedule(dynamic)
-    for (int32_t i = 0; i < n; ++i) {
-        if (decode(srcs[i], static_cast<size_t>(src_ns[i]), dsts[i],
-                   static_cast<size_t>(dst_n), codec) != 0) {
-#pragma omp atomic write
-            status = -1;
         }
     }
     return status;

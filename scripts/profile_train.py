@@ -92,7 +92,8 @@ def main() -> None:
         lines.append(f"(xplane parse failed: {err})")
 
     out = Path(args.out)
-    text = out.read_text() if out.exists() else ""
+    # default overwrites (matching profile_infer.py); --append accumulates
+    text = out.read_text() if args.append and out.exists() else ""
     out.write_text(text + "\n".join(lines) + "\n")
     print("\n".join(lines))
 

@@ -174,3 +174,51 @@ def test_visualize_and_inspection_scripts(tmp_path, rng, monkeypatch):
     inspect_main()
     out = tmp_path / "results" / "data_inspection" / "value_histograms.png"
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_exp1_event_pairing_survives_missing_and_short_events(rng):
+    """Per-event alignment: a method missing event_02 (or holding a shorter
+    event) must still score its remaining events against the RIGHT truth
+    frames. The old global tail-truncate silently paired event_03 predictions
+    with event_02 truth."""
+    truth = {f"event_{i:02d}": (rng.random((6, 32, 32)) * 100).astype(np.float32)
+             for i in (1, 2, 3)}
+    mask = rng.random((32, 32)) < 0.2
+
+    # perfect predictions for events 1 and 3; event 2 entirely absent
+    preds = {"gappy": {"event_01": truth["event_01"].copy(),
+                       "event_03": truth["event_03"].copy()}}
+    res = exp1.run_exp1(preds, truth, mask, mode="gauge", crop_size=32,
+                        use_pool8=False)
+    assert res["gappy"]["MAE"] < 1e-9
+    assert abs(res["gappy"]["NSE"] - 1.0) < 1e-6
+
+    # event_01 prediction 2 frames short but exact where present
+    preds = {"short": {k: v.copy() if k != "event_01" else v[:4].copy()
+                       for k, v in truth.items()}}
+    res = exp1.run_exp1(preds, truth, mask, mode="gauge", crop_size=32,
+                        use_pool8=False)
+    assert res["short"]["MAE"] < 1e-9
+
+    # flat pre-concatenated array methods still appear in the report
+    flat = np.concatenate([truth[k] for k in truth], axis=0)
+    res = exp1.run_exp1({"flat": flat}, truth, mask, mode="gauge",
+                        crop_size=32, use_pool8=False)
+    assert res["flat"]["MAE"] < 1e-9
+
+
+def test_exp3_event_pairing_survives_missing_events(tmp_path, rng):
+    """run_exp3's aggregates must pair each method's events with their own
+    truth; a method missing an event drops that event for that method only."""
+    from experiments import exp3
+
+    truth = {f"event_{i:02d}": (rng.random((5, 32, 32)) * 100).astype(np.float32)
+             for i in (1, 2, 3)}
+    mask = rng.random((32, 32)) < 0.2
+    preds = {"gappy": {"event_01": truth["event_01"].copy(),
+                       "event_03": truth["event_03"].copy()},
+             "full": {k: v.copy() for k, v in truth.items()}}
+    metrics = exp3.run_exp3(preds, truth, mask, mode="gauge", crop_size=32,
+                            out_dir=str(tmp_path))
+    assert abs(metrics["NSE_gappy"] - 1.0) < 1e-6
+    assert abs(metrics["NSE_full"] - 1.0) < 1e-6

@@ -15,6 +15,7 @@ def lib():
 
 
 @pytest.mark.parametrize("compressor", [None, {"id": "zlib", "level": 1},
+                                        {"id": "gzip", "level": 1},
                                         {"id": "zstd", "level": 3},
                                         {"id": "blosc", "cname": "zstd"}])
 def test_native_window_read_matches_python(tmp_path, rng, lib, compressor):

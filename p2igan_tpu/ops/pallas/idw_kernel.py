@@ -106,8 +106,12 @@ def _round_up(n: int, m: int) -> int:
 _P_SINGLE_PASS_MAX = 4096
 # Chunked-path tile: (q_block, p_chunk) intermediates must fit Mosaic's 16 MB
 # scoped-VMEM stack (measured: 512x8192 f32 tiles hit 18.8 MB and fail).
-_P_CHUNK = 2048
-_Q_BLOCK_CHUNKED = 256
+# Tile sweep on chip at P=77824, (16,128,128) grid: (256,2048) 404 ms,
+# (512,2048) 410 ms, (256,4096) 254 ms, (128,4096) 209 ms/fwd; (128,8192)
+# stalls in compile. Wide candidate tiles amortize the per-round reduction
+# setup; the narrow q_block keeps the stack within budget.
+_P_CHUNK = 4096
+_Q_BLOCK_CHUNKED = 128
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))

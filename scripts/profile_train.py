@@ -66,12 +66,15 @@ def main() -> None:
                                gan_loss_type="hinge", adversarial_weight=0.01,
                                k1_alpha=0.05, donate=False)
 
+    # sync discipline: on the tunneled backend block_until_ready can return
+    # before the device finishes — end every timed region with a scalar host
+    # fetch (steps chain through `state`, so the last loss proves them all)
     state, metrics = step_fn(state, frames, masked, masks)
-    jax.block_until_ready((state, metrics))
+    float(metrics["loss"])
     t0 = time.time()
     for _ in range(5):
         state, metrics = step_fn(state, frames, masked, masks)
-    jax.block_until_ready((state, metrics))
+    float(metrics["loss"])
     ms = (time.time() - t0) / 5 * 1e3
 
     with jax.profiler.trace(args.trace_dir):

@@ -271,13 +271,19 @@ def factored_apply_gauges_batch(
 
         # the kernel's VMEM working set scales with N*hw_block (all windows'
         # candidate rows live in VMEM); shrink the pixel block for large
-        # batches to stay inside Mosaic's 16 MB scoped-VMEM stack
-        hw_block = 512 if N <= 16 else (256 if N <= 32 else 128)
+        # batches to stay inside Mosaic's 16 MB scoped-VMEM stack, and
+        # above 64 windows (the lane dim cannot shrink below 128) chunk the
+        # window axis into separate kernel calls
         dz2 = jnp.asarray(frame_dz2_np(D))
-        out = combine_table_multi_with_vjp(jnp.transpose(gd2),
-                                           jnp.transpose(gsel),
-                                           gauge_vals, dz2, k, D, rho, tau,
-                                           hw_block)
+        gd2_t, gsel_t = jnp.transpose(gd2), jnp.transpose(gsel)
+        parts = []
+        for lo in range(0, N, 64):
+            chunk = gauge_vals[lo:lo + 64]
+            n = chunk.shape[0]
+            hw_block = 512 if n <= 16 else (256 if n <= 32 else 128)
+            parts.append(combine_table_multi_with_vjp(
+                gd2_t, gsel_t, chunk, dz2, k, D, rho, tau, hw_block))
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return out.reshape(N, D, H, W)
     return jax.vmap(lambda t: factored_apply_gauges(
         gd2, gsel, t, out_hw, k=k, rho=rho, tau=tau,

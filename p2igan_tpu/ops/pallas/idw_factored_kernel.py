@@ -76,6 +76,41 @@ def _idw_weight(d_min: jax.Array, rho: float, tau: float) -> jax.Array:
     return jnp.where(d_min < BIGD, w, 0.0)
 
 
+def _selection_weights(gd2_tiled: jax.Array, fz: jax.Array, row: jax.Array,
+                       k: int, rho: float, tau: float):
+    """One query-z extraction pass: the k min/argmin rounds over the
+    frame-major candidate distance matrix ``sqrt(gd2_tiled + fz)``,
+    returning each candidate row's SELECTED weight and the weight sum
+    (wsel (kf*k, B), w_sum (B,)). Shared by the multi-window forward and
+    both backward kernels so the tie-sensitive selection arithmetic exists
+    exactly once; the single-window forwards keep their documented
+    per-round value accumulation (reference reduction order) inline."""
+    cd = jnp.sqrt(gd2_tiled + fz)
+    cd = jnp.where(cd < BIGD, cd, BIGD)
+    wsel = jnp.zeros(cd.shape, jnp.float32)
+    w_sum = jnp.zeros((cd.shape[1],), jnp.float32)
+    for _ in range(k):
+        d_min = jnp.min(cd, axis=0)
+        idx = jnp.argmin(cd, axis=0)     # lowest index on ties
+        hit = row == idx[None, :]
+        w = _idw_weight(d_min, rho, tau)
+        w_sum = w_sum + w
+        wsel = wsel + jnp.where(hit, w[None, :], 0.0)
+        cd = jnp.where(hit, BIGD, cd)
+    return wsel, w_sum
+
+
+def _route_table(sel, kf: int) -> np.ndarray:
+    """(D, D, kf) 0/1 routing input for the backward kernels: frame f of
+    candidate row j*k+s under query z is sel[z][j]."""
+    D = len(sel)
+    route = np.zeros((D, D, kf), np.float32)
+    for z in range(D):
+        for j, f in enumerate(sel[z]):
+            route[z, int(f), j] = 1.0
+    return route
+
+
 def _pruned_frame_table(dz2: jax.Array, D: int, k: int, prune: bool):
     """(sel, kf, fd2): static per-z frame selection + the (D, kf*k) pruned
     frame-distance table, frame-major candidate row order."""
@@ -299,18 +334,7 @@ def _combine_table_multi_kernel(gd2_ref, gsel_ref, tables_ref, fd2_ref,
 
     for z in range(D):
         fz = fd2[z].reshape(kf * k, 1)
-        cd = jnp.sqrt(gd2_tiled + fz)
-        cd = jnp.where(cd < BIGD, cd, BIGD)
-        wsel = jnp.zeros((kf * k, B), jnp.float32)
-        w_sum = jnp.zeros((B,), jnp.float32)
-        for _ in range(k):
-            d_min = jnp.min(cd, axis=0)
-            idx = jnp.argmin(cd, axis=0)     # lowest index on ties
-            hit = row == idx[None, :]
-            w = _idw_weight(d_min, rho, tau)
-            w_sum = w_sum + w
-            wsel = wsel + jnp.where(hit, w[None, :], 0.0)
-            cd = jnp.where(hit, BIGD, cd)
+        wsel, w_sum = _selection_weights(gd2_tiled, fz, row, k, rho, tau)
         wnorm = wsel / (w_sum + 1e-12)[None, :]          # (kf*k, B)
         for w_i in range(NW):
             cv = jnp.concatenate(
@@ -392,18 +416,7 @@ def _combine_table_bwd_kernel(gd2_ref, gsel_ref, fd2_ref, g_ref, route_ref,
     X = [jnp.zeros((D, B), jnp.float32) for _ in range(k)]  # per-slot routed
     for z in range(D):
         fz = fd2[z].reshape(kf * k, 1)
-        cd = jnp.sqrt(gd2_tiled + fz)
-        cd = jnp.where(cd < BIGD, cd, BIGD)
-        wsel = jnp.zeros((kf * k, B), jnp.float32)
-        w_sum = jnp.zeros((B,), jnp.float32)
-        for _ in range(k):
-            d_min = jnp.min(cd, axis=0)
-            idx = jnp.argmin(cd, axis=0)
-            hit = row == idx[None, :]
-            w = _idw_weight(d_min, rho, tau)
-            w_sum = w_sum + w
-            wsel = wsel + jnp.where(hit, w[None, :], 0.0)
-            cd = jnp.where(hit, BIGD, cd)
+        wsel, w_sum = _selection_weights(gd2_tiled, fz, row, k, rho, tau)
         wg = (wsel / (w_sum + 1e-12)[None, :]) * g[z][None, :]  # (kf*k, B)
         wg = wg.reshape(kf, k, B)
         rz = route[z]                        # (D, kf) 0/1
@@ -442,11 +455,7 @@ def factored_combine_table_bwd_pallas(gd2_t: jax.Array,   # (k, HW)
         g = jnp.pad(g, ((0, 0), (0, HWp - HW)))
     sel, kf, fd2 = _pruned_frame_table(dz2, D, k, prune)
     nblk = HWp // hw_block
-    # routing input: frame f of candidate row j*k+s under query z is sel[z][j]
-    route = np.zeros((D, D, kf), np.float32)
-    for z in range(D):
-        for j, f in enumerate(sel[z]):
-            route[z, int(f), j] = 1.0
+    route = _route_table(sel, kf)
 
     parts = pl.pallas_call(
         functools.partial(_combine_table_bwd_kernel, k=k, D=D, kf=kf,
@@ -498,18 +507,7 @@ def _combine_table_multi_bwd_kernel(gd2_ref, gsel_ref, fd2_ref, g_ref,
     X = [jnp.zeros((D, NW * B), jnp.float32) for _ in range(k)]
     for z in range(D):
         fz = fd2[z].reshape(kf * k, 1)
-        cd = jnp.sqrt(gd2_tiled + fz)
-        cd = jnp.where(cd < BIGD, cd, BIGD)
-        wsel = jnp.zeros((kf * k, B), jnp.float32)
-        w_sum = jnp.zeros((B,), jnp.float32)
-        for _ in range(k):
-            d_min = jnp.min(cd, axis=0)
-            idx = jnp.argmin(cd, axis=0)
-            hit = row == idx[None, :]
-            w = _idw_weight(d_min, rho, tau)
-            w_sum = w_sum + w
-            wsel = wsel + jnp.where(hit, w[None, :], 0.0)
-            cd = jnp.where(hit, BIGD, cd)
+        wsel, w_sum = _selection_weights(gd2_tiled, fz, row, k, rho, tau)
         wnorm = wsel / (w_sum + 1e-12)[None, :]          # (kf*k, B)
         # wg[:, w*B + b] = wnorm[:, b] * g[w, z, b]
         wg = jnp.concatenate([wnorm * g[w_i, z][None, :]
@@ -552,10 +550,7 @@ def factored_combine_table_multi_bwd_pallas(gd2_t: jax.Array,   # (k, HW)
         g = jnp.pad(g, ((0, 0), (0, 0), (0, HWp - HW)))
     sel, kf, fd2 = _pruned_frame_table(dz2, D, k, prune)
     nblk = HWp // hw_block
-    route = np.zeros((D, D, kf), np.float32)
-    for z in range(D):
-        for j, f in enumerate(sel[z]):
-            route[z, int(f), j] = 1.0
+    route = _route_table(sel, kf)
 
     parts = pl.pallas_call(
         functools.partial(_combine_table_multi_bwd_kernel, k=k, D=D, kf=kf,

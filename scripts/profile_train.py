@@ -80,7 +80,9 @@ def main() -> None:
     with jax.profiler.trace(args.trace_dir):
         for _ in range(3):
             state, metrics = step_fn(state, frames, masked, masks)
-        jax.block_until_ready(metrics["loss"])
+        # scalar fetch, not block_until_ready: the trace must stay open
+        # until the device actually finishes the profiled steps
+        float(metrics["loss"])
 
     parsed, err = parse_xplane(args.trace_dir)
     lines = ["", "## GAN train step (batch 12, 128^2x16, hinge) — device time",

@@ -348,6 +348,34 @@ def test_combine_table_multi_kernel_matches_vmapped(rng):
     assert abs(lhs - rhs) / (abs(lhs) + 1e-9) < 1e-4, (lhs, rhs)
 
 
+def test_combine_table_multi_window_chunking(rng):
+    """Above 64 windows the batch entry chunks the window axis into separate
+    kernel calls (the lane-dim pixel block cannot shrink below 128);
+    results must match the unchunked XLA path, including gradients."""
+    from p2igan_tpu.ops import idw as IDW
+
+    D, H, W, G, N = 2, 8, 8, 128, 70
+    flat = np.zeros((H * W,), np.float32)
+    flat[rng.choice(H * W, 5, replace=False)] = 1.0
+    mask_xy = jnp.asarray(flat.reshape(H, W))
+    gd2, gsel, _ = IDW.factored_prepare_full(mask_xy, G, k=4, use_pallas=False)
+    tables = jnp.asarray(rng.normal(size=(N, D, G)).astype(np.float32))
+
+    want = np.asarray(jax.vmap(lambda t: IDW.factored_apply_gauges(
+        gd2, gsel, t, (H, W), use_pallas=False))(tables))
+    got = np.asarray(IDW.factored_apply_gauges_batch(
+        gd2, gsel, tables, (H, W), use_pallas=True))
+    assert got.shape == (N, D, H, W)
+    assert (np.abs(got - want) > 1e-4).mean() < 0.03
+
+    g = jnp.asarray(rng.normal(size=want.shape).astype(np.float32))
+    d_new = jax.grad(lambda t: jnp.sum(g * IDW.factored_apply_gauges_batch(
+        gd2, gsel, t, (H, W), use_pallas=True)))(tables)
+    lhs = float(jnp.sum(g * jnp.asarray(got)))
+    rhs = float(jnp.sum(d_new * tables))
+    assert abs(lhs - rhs) / (abs(lhs) + 1e-9) < 1e-4, (lhs, rhs)
+
+
 def test_pool_dup_kernel_matches_xla(rng):
     from p2igan_tpu.ops.layers import downsample_duplicate_channels
     from p2igan_tpu.ops.pallas.pool_dup import maxpool2_duplicate

@@ -26,20 +26,27 @@ from ..config import build_dataset_args, drop_sample_length, extract_shared_para
 from .stores import EventDataset, Item, ZarrWindowDataset
 
 
+def pad_repeat_last(a: np.ndarray, length: int, axis: int = 0) -> np.ndarray:
+    """Pad ``a`` along ``axis`` to ``length`` by repeating its last slice.
+
+    The single definition of the repeat-last-frame time-padding semantics
+    shared by the collate below and every sliding-window entry point in
+    ``inference/driver.py`` (reference pads windows the same way,
+    scripts/infer.py:223-227)."""
+    n = length - a.shape[axis]
+    if n <= 0:
+        return a
+    reps = np.repeat(np.take(a, [-1], axis=axis), n, axis=axis)
+    return np.concatenate([a, reps], axis=axis)
+
+
 def collate_pad_last(items: Sequence[Item]) -> Tuple[np.ndarray, ...]:
     """Stack items, padding shorter sequences by repeating the last frame.
 
     Items are (video, masked, mask) triples — or (video_u8, mask_u8) pairs in
     the raw device-decode pipeline; every stream is padded/stacked alike."""
     max_len = max(item[0].shape[0] for item in items)
-
-    def _pad(seq: np.ndarray) -> np.ndarray:
-        if seq.shape[0] == max_len:
-            return seq
-        pad = np.repeat(seq[-1:], max_len - seq.shape[0], axis=0)
-        return np.concatenate([seq, pad], axis=0)
-
-    return tuple(np.stack([_pad(arr) for arr in stream])
+    return tuple(np.stack([pad_repeat_last(arr, max_len) for arr in stream])
                  for stream in zip(*items))
 
 

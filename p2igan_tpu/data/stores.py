@@ -64,6 +64,13 @@ class EventDataset(_MaskMixin):
         self.zarr_root = None
         if self.is_zarr:
             self.zarr_root = zarrlite.open(self.data_root, mode="r")
+            # Lexicographic event order — parity with the reference's
+            # `sorted(zarr_root.array_keys())` (sti_dataset.py:162-166). Note
+            # the file branch below sorts by embedded number instead, so with
+            # >= 100 events ("event_100" < "event_11" lexicographically) the
+            # two input formats disagree on ordering — in the reference too.
+            # The shipped converters (scripts/tozarr.py) zero-pad to 2 digits,
+            # which keeps both orders identical up to 99 events.
             self.video_files: List[str] = list(self.zarr_root.array_keys())
         else:
             self.video_files = sorted(

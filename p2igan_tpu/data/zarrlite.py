@@ -512,10 +512,16 @@ def open_group(path: str | Path, mode: str = "r") -> Group:
 
 def open(path: str | Path, mode: str = "r") -> "Group | Array":  # noqa: A001
     path = Path(path)
+    if mode == "w":
+        # zarr-python semantics: 'w' clobbers any existing store
+        return open_group(path, mode="w")
+    if mode == "w-" and ((path / ".zarray").exists()
+                         or (path / ".zgroup").exists()):
+        raise FileExistsError(f"zarr store already exists at {path}")
     if (path / ".zarray").exists():
         return Array(path, read_only=(mode == "r"))
     if (path / ".zgroup").exists():
         return Group(path, read_only=(mode == "r"))
-    if mode in ("w", "a", "w-"):
-        return open_group(path, mode="w" if mode == "w" else "a")
+    if mode in ("a", "w-"):
+        return open_group(path, mode="a")
     raise FileNotFoundError(f"no zarr store at {path}")

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import zarrlite
-from ..data.datamodule import P2IDataModule
+from ..data.datamodule import P2IDataModule, pad_repeat_last
 from ..models import build_generator_for_inference
 from ..training.checkpoint import load_checkpoint_raw, resolve_checkpoint
 
@@ -51,7 +51,7 @@ class SlidingWindowReconstructor:
         self.stride = max(1, int(stride))
         self.overlap = max(0, int(overlap))
         self.step = max(1, self.stride - self.overlap)
-        self.window_batch = window_batch
+        self.window_batch = max(1, int(window_batch))
         self.output_scale = float(output_scale)
         self.t_bucket = t_bucket
         self._compiled: Dict[int, Callable] = {}
@@ -63,6 +63,15 @@ class SlidingWindowReconstructor:
         gen = self.generator
         return bool(getattr(gen, "idw_factored", False)
                     and getattr(gen, "idw_shared_batch_mask", False))
+
+    @staticmethod
+    def _masks_shared(masks: np.ndarray) -> bool:
+        """True when every event in the (E,T,H,W,C) batch carries the same
+        frame-0 mask — the condition for hoisting one gauge selection over
+        the whole flattened window stream."""
+        masks = np.asarray(masks)
+        return all(np.array_equal(masks[0, 0], masks[e, 0])
+                   for e in range(1, masks.shape[0]))
 
     def _window_tables(self, T: int, E: int, pad_multiple: int):
         """Flat (win_idx, tgt) tables for E equal-length events, padded to a
@@ -237,14 +246,20 @@ class SlidingWindowReconstructor:
     def sharded_batch(self, masked: np.ndarray, masks: np.ndarray,
                       mesh) -> np.ndarray:
         """Event+window-parallel reconstruction of an equal-length event
-        batch over a device mesh."""
+        batch over a device mesh.
+
+        Like :meth:`batch`, the flattened multi-event program hoists ONE
+        gauge selection from event 0's mask; if the generator uses the
+        shared-mask factored IDW and events carry different masks, fall back
+        to per-event sharded programs (window parallelism preserved, each
+        event gets its own selection)."""
         E, T = masked.shape[:2]
+        if self._supports_prepared_idw() and not self._masks_shared(masks):
+            return np.stack([self.sharded(masked[e], masks[e], mesh)
+                             for e in range(E)])
         Tb = _round_up(max(T, self.stride), self.t_bucket)
-        if Tb != T:
-            pad = np.repeat(masked[:, -1:], Tb - T, axis=1)
-            masked = np.concatenate([masked, pad], axis=1)
-            masks = np.concatenate(
-                [masks, np.repeat(masks[:, -1:], Tb - T, axis=1)], axis=1)
+        masked = pad_repeat_last(masked, Tb, axis=1)
+        masks = pad_repeat_last(masks, Tb, axis=1)
         key = ("sharded_batch", Tb, E, id(mesh))
         fn = self._compiled.get(key)
         if fn is None:
@@ -257,11 +272,8 @@ class SlidingWindowReconstructor:
         """Window-parallel event reconstruction over a device mesh."""
         T = masked.shape[0]
         Tb = _round_up(max(T, self.stride), self.t_bucket)
-        if Tb != T:
-            masked = np.concatenate(
-                [masked, np.repeat(masked[-1:], Tb - T, axis=0)], axis=0)
-            masks = np.concatenate(
-                [masks, np.repeat(masks[-1:], Tb - T, axis=0)], axis=0)
+        masked = pad_repeat_last(masked, Tb)
+        masks = pad_repeat_last(masks, Tb)
         key = ("sharded", Tb, id(mesh))
         fn = self._compiled.get(key)
         if fn is None:
@@ -282,15 +294,9 @@ class SlidingWindowReconstructor:
         """
         E, T = masked.shape[:2]
         Tb = _round_up(max(T, self.stride), self.t_bucket)
-        if Tb != T:
-            pad = np.repeat(masked[:, -1:], Tb - T, axis=1)
-            masked = np.concatenate([masked, pad], axis=1)
-            masks = np.concatenate(
-                [masks, np.repeat(masks[:, -1:], Tb - T, axis=1)], axis=1)
-        masks_np = np.asarray(masks)
-        shared_mask = all(np.array_equal(masks_np[0, 0], masks_np[e, 0])
-                          for e in range(1, E))
-        if self._supports_prepared_idw() and not shared_mask:
+        masked = pad_repeat_last(masked, Tb, axis=1)
+        masks = pad_repeat_last(masks, Tb, axis=1)
+        if self._supports_prepared_idw() and not self._masks_shared(masks):
             key = ("batch_vmap", Tb)
             fn = self._compiled.get(key)
             if fn is None:
@@ -305,10 +311,8 @@ class SlidingWindowReconstructor:
         """masked/masks: (T, H, W, C) -> reconstructed (T, H, W, C) float32."""
         T = masked.shape[0]
         Tb = _round_up(max(T, self.stride), self.t_bucket)
-        if Tb != T:
-            pad = np.repeat(masked[-1:], Tb - T, axis=0)
-            masked = np.concatenate([masked, pad], axis=0)
-            masks = np.concatenate([masks, np.repeat(masks[-1:], Tb - T, axis=0)], 0)
+        masked = pad_repeat_last(masked, Tb)
+        masks = pad_repeat_last(masks, Tb)
         fn = self.compiled_fn(Tb)
         out = np.asarray(fn(jnp.asarray(masked), jnp.asarray(masks)))
         return out[:T]
@@ -439,15 +443,8 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
                 write_event(pass_idx, idx, recon(m, k))
             else:
                 tmax = max(m.shape[0] for _, m, _ in items)
-
-                def pad_t(a: np.ndarray) -> np.ndarray:
-                    if a.shape[0] == tmax:
-                        return a
-                    reps = np.repeat(a[-1:], tmax - a.shape[0], axis=0)
-                    return np.concatenate([a, reps], axis=0)
-
-                ms = np.stack([pad_t(m) for _, m, _ in items])
-                ks = np.stack([pad_t(k) for _, _, k in items])
+                ms = np.stack([pad_repeat_last(m, tmax) for _, m, _ in items])
+                ks = np.stack([pad_repeat_last(k, tmax) for _, _, k in items])
                 comps = (recon.sharded_batch(ms, ks, mesh) if mesh is not None
                          else recon.batch(ms, ks))
                 for (idx, m, _), comp in zip(items, comps):

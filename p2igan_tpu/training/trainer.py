@@ -353,6 +353,15 @@ class Trainer:
             if self.global_step >= self.max_steps:
                 break
 
+        if self._profiling:
+            # the loop ended (max_steps break or final epoch) inside the
+            # profile window — flush the trace instead of losing it
+            jax.block_until_ready(self.state)
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logging.info("Profiler trace written to %s (flushed at loop exit)",
+                         self.profile_dir)
+
         denom = max(1, steps)
         running = {k: float(v) for k, v in running.items()}
         self.last_rec_loss = running["rec"] / denom

@@ -160,6 +160,19 @@ def test_sharded_batch_matches_single_device():
     got = recon.sharded_batch(masked, masks, mesh)
     np.testing.assert_allclose(got, want, atol=1e-3)
 
+    # differing per-event masks: the flattened program would hoist event 0's
+    # gauge selection for both events; the guard must route through per-event
+    # sharded programs so each event keeps its own selection
+    flat2 = np.zeros((hw * hw,), np.float32)
+    flat2[rng.choice(hw * hw, 11, replace=False)] = 1.0
+    masks2 = masks.copy()
+    masks2[1] = np.broadcast_to(flat2.reshape(1, hw, hw, 1),
+                                (ev_t, hw, hw, 1))
+    masked2 = frames * masks2
+    want2 = np.stack([recon(masked2[e], masks2[e]) for e in range(2)])
+    got2 = recon.sharded_batch(masked2, masks2, mesh)
+    np.testing.assert_allclose(got2, want2, atol=1e-3)
+
 
 @pytest.mark.slow
 def test_model_sharded_generator_matches_replicated(rng):

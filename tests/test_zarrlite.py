@@ -72,3 +72,26 @@ def test_int_index_squeezes(tmp_path):
     np.testing.assert_array_equal(a[1], data[1])
     assert a[1, 2, 3] == data[1, 2, 3]
     assert a[0, :, 1].shape == (3,)
+
+
+def test_open_w_truncates_existing_store(tmp_path):
+    """zarr-python parity: open(path, 'w') clobbers an existing store."""
+    p = tmp_path / "s.zarr"
+    g = zl.open(p, mode="w")
+    g.create_dataset("stale", shape=(4,), dtype="float32",
+                     data=np.ones(4, np.float32))
+    g2 = zl.open(p, mode="w")
+    assert list(g2.array_keys()) == []
+    g2.create_dataset("fresh", shape=(2,), dtype="float32",
+                      data=np.zeros(2, np.float32))
+    assert list(zl.open(p, mode="r").array_keys()) == ["fresh"]
+
+
+def test_open_w_minus_refuses_existing(tmp_path):
+    p = tmp_path / "s.zarr"
+    zl.open(p, mode="w")
+    with pytest.raises(FileExistsError):
+        zl.open(p, mode="w-")
+    # but creates when absent
+    g = zl.open(tmp_path / "new.zarr", mode="w-")
+    assert list(g.array_keys()) == []

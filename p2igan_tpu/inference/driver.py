@@ -33,11 +33,8 @@ import numpy as np
 from ..data import zarrlite
 from ..data.datamodule import P2IDataModule, pad_repeat_last
 from ..models import build_generator_for_inference
+from ..ops.idw import round_up as _round_up
 from ..training.checkpoint import load_checkpoint_raw, resolve_checkpoint
-
-
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
 
 
 class SlidingWindowReconstructor:

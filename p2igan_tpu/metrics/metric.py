@@ -39,9 +39,15 @@ def _flatten_spatial(x: jax.Array) -> jax.Array:
 
 
 def _to_nhw(x: jax.Array) -> jax.Array:
-    """Accept (B,T,H,W,C) / (B,T,H,W) / (B,H,W) etc. -> (N, H, W)."""
+    """Accept (B,T,H,W,C) / (B,T,H,W) / (B,H,W) etc. -> (N, H, W).
+
+    5D input is always (B,T,H,W,C); C>1 folds each channel into its own
+    (H,W) plane (previously the trailing (W,C) pair was silently treated as
+    the image plane). 4D input is (..., H, W) by convention."""
     if x.ndim >= 3 and x.shape[-1] == 1:
         x = x[..., 0]
+    elif x.ndim == 5:
+        x = jnp.moveaxis(x, -1, 2)  # (B,T,C,H,W)
     return _flatten_spatial(x)
 
 
@@ -322,6 +328,17 @@ class RainfallMetricSuite:
 
     def update(self, preds, target) -> None:
         self.state = self._update(self.state, preds, target)
+
+    @staticmethod
+    def psum_state(state, axis_name: str = "data"):
+        """Reduce a sharded accumulator pytree across a mesh axis.
+
+        Call inside ``shard_map``/``pmap`` on the local state; every leaf is
+        a sum-accumulator, so a plain psum realizes the reference's
+        torchmetrics ``dist_reduce_fx="sum"`` declarations
+        (p2igan_bench/metrics/metric.py:45-188)."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, axis_name), state)
 
     def compute(self) -> Dict[str, float]:
         thr = tuple(float(t) for t in self.cfg.thresholds)

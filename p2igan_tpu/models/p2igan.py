@@ -116,7 +116,24 @@ class P2IGenerator(nn.Module):
         elif mask_type == "nowcasting":
             n_pts = keep * H * W
         elif mask_type == "stis":
-            n_pts = length * 256  # gauge masks are sparse; generous static cap
+            # the gauge mask is a fixed file: count its gauges exactly so the
+            # static nonzero budget can never truncate (the 256 fallback only
+            # applies when the file is unreadable at config time)
+            n_gauges = 256
+            mask_file = mask_cfg.get("file")
+            if mask_file:
+                try:
+                    from ..data.masks import load_gauge_mask
+
+                    n_gauges = int((load_gauge_mask(mask_file) > 0).sum())
+                except OSError:
+                    import logging
+
+                    logging.warning(
+                        "stis gauge file %s unreadable at config time; "
+                        "falling back to a %d-gauge IDW budget", mask_file,
+                        n_gauges)
+            n_pts = length * max(1, n_gauges)
         else:
             n_pts = length * H * W  # unknown type: full budget, never truncate
         max_points = kw.pop("idw_max_points", -(-n_pts // 128) * 128)

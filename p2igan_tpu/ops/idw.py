@@ -39,7 +39,8 @@ def grid_points(D: int, H: int, W: int) -> np.ndarray:
     return np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
 
-def _round_up(n: int, m: int) -> int:
+def round_up(n: int, m: int) -> int:
+    """Smallest multiple of ``m`` >= ``n`` (shared lane/tile rounding helper)."""
     return -(-n // m) * m
 
 
@@ -57,7 +58,7 @@ def idw_3d_knn(
     D, H, W = out_shape
     gp = jnp.asarray(grid_points(D, H, W))
     Q = gp.shape[0]
-    Qp = _round_up(Q, chunk)
+    Qp = round_up(Q, chunk)
     if Qp != Q:
         gp = jnp.pad(gp, ((0, Qp - Q), (0, 0)))
     gp = gp.reshape(Qp // chunk, chunk, 3)

@@ -286,6 +286,16 @@ class InputBlock(nn.Module):
 
         B, H, W, D = x.shape
 
+        if prepared is not None and not (self.factored and self.shared_batch_mask):
+            # only the factored shared-mask path can consume a hoisted gauge
+            # selection; silently dropping it would un-do the caller's
+            # optimization (and hide a prepared table built for a different
+            # configuration)
+            raise ValueError(
+                "InputBlock got `prepared` but factored+shared_batch_mask "
+                f"is not set (factored={self.factored}, "
+                f"shared_batch_mask={self.shared_batch_mask})")
+
         if self.factored:
             # mask is constant across frames: factorized exact k-NN. The
             # attention gate is per-pixel and the IDW only ever reads values

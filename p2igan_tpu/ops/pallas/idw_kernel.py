@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..idw import grid_points
+from ..idw import grid_points, round_up
 
 
 def _weight_from_d2(d2_min, rho: float, tau: float):
@@ -47,7 +47,7 @@ def _prep_points(points_xyz, valid):
     """(pts (3, Pp), penalty (1, Pp), Pp): lane-padded transposed points +
     validity penalty, shared by the forward and backward wrappers."""
     P = points_xyz.shape[0]
-    Pp = _round_up(max(P, 128), 128)
+    Pp = round_up(max(P, 128), 128)
     pts = jnp.transpose(points_xyz.astype(jnp.float32))
     penalty = jnp.where(valid, 0.0, np.float32(1e30)).reshape(1, P)
     if Pp != P:
@@ -95,10 +95,6 @@ def _idw_kernel(gp_ref, pts_ref, vals_ref, penalty_ref, out_ref, *,
     out_ref[0, :] = (wv_sum / (w_sum + 1e-12)).reshape(qblk)
 
 
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
-
-
 # Above this candidate count the single-pass kernel's (q_block, P) VMEM tile
 # overflows Mosaic's 16 MB scoped-VMEM stack (measured on v5e: P=16000 at
 # q_block=512 allocates 36 MB and fails); the two-level chunked path takes
@@ -136,7 +132,7 @@ def _idw_forward_single(points_xyz, values, valid, out_shape, k, rho, tau, q_blo
     D, H, W = out_shape
     gp = np.ascontiguousarray(grid_points(D, H, W).T)  # (3, Q)
     Q = gp.shape[1]
-    Qp = _round_up(Q, q_block)
+    Qp = round_up(Q, q_block)
     if Qp != Q:
         gp = np.pad(gp, ((0, 0), (0, Qp - Q)))
     P = points_xyz.shape[0]
@@ -218,13 +214,13 @@ def _idw_forward_chunked(points_xyz, values, valid, out_shape, k, rho, tau,
     q_block = min(q_block, _Q_BLOCK_CHUNKED)
     gp = np.ascontiguousarray(grid_points(D, H, W).T)  # (3, Q)
     Q = gp.shape[1]
-    Qp = _round_up(Q, q_block)
+    Qp = round_up(Q, q_block)
     if Qp != Q:
         gp = np.pad(gp, ((0, 0), (0, Qp - Q)))
     P = points_xyz.shape[0]
     pts, penalty, Pp = _prep_points(points_xyz, valid)
     p_chunk = _P_CHUNK
-    Pc = _round_up(Pp, p_chunk)
+    Pc = round_up(Pp, p_chunk)
     if Pc != Pp:
         pts = jnp.pad(pts, ((0, 0), (0, Pc - Pp)))
         penalty = jnp.pad(penalty, ((0, 0), (0, Pc - Pp)),
@@ -362,7 +358,7 @@ def idw_3d_knn_bwd_pallas(points_xyz, valid, g, out_shape, k=4, rho=2.0,
     D, H, W = out_shape
     gp = np.ascontiguousarray(grid_points(D, H, W).T)  # (3, Q)
     Q = gp.shape[1]
-    Qp = _round_up(Q, q_block)
+    Qp = round_up(Q, q_block)
     gflat = g.astype(jnp.float32).reshape(1, Q)
     if Qp != Q:
         gp = np.pad(gp, ((0, 0), (0, Qp - Q)))
@@ -420,7 +416,7 @@ def _idw_bwd(out_shape, k, rho, tau, q_block, residuals, g):
         # by construction tie-consistent with the compiled forward.
         sel_idx, w_norm = chunk_res
         P = points_xyz.shape[0]
-        Pc = _round_up(_round_up(max(P, 128), 128), _P_CHUNK)
+        Pc = round_up(round_up(max(P, 128), 128), _P_CHUNK)
         g_flat = g.astype(jnp.float32).reshape(-1, 1)      # (Q, 1)
         dv = jnp.zeros((Pc,), jnp.float32).at[sel_idx].add(
             w_norm * g_flat, mode="drop")[:P]

@@ -111,10 +111,24 @@ class SNConv(nn.Module):
         kernel_sn = (kernel / sigma).astype(x.dtype)
         from .convs import conv2d, conv3d
 
+        def _fit(v: Tuple[int, ...], name: str) -> Tuple[int, ...]:
+            # the class defaults are 2D tuples; broadcast uniform values to
+            # the kernel's rank so a 3D kernel with default stride/padding
+            # doesn't crash deep inside lax.conv_general_dilated
+            v = tuple(v)
+            if len(v) == ndim:
+                return v
+            if len(set(v)) == 1:
+                return (v[0],) * ndim
+            raise ValueError(
+                f"SNConv {name}={v} incompatible with {ndim}D kernel {ks}")
+
+        stride = _fit(self.stride, "stride")
+        padding = _fit(self.padding, "padding")
         if ndim == 2:
-            out = conv2d(x, kernel_sn, stride=self.stride, padding=self.padding, bias=None)
+            out = conv2d(x, kernel_sn, stride=stride, padding=padding, bias=None)
         else:
-            out = conv3d(x, kernel_sn, stride=self.stride, padding=self.padding, bias=None)
+            out = conv3d(x, kernel_sn, stride=stride, padding=padding, bias=None)
         if bias is not None:
             out = out + bias.astype(out.dtype)
         return out

@@ -139,3 +139,17 @@ def test_value_range_partial_fixed_bounds():
     assert value_range(gt, pred, scale="fixed", vmin=0.0) == (0.0, 0.9)
     assert value_range(gt, pred, scale="fixed", vmax=1.0) == (0.1, 1.0)
     assert value_range(gt, pred, scale="fixed", vmin=0.0, vmax=2.0) == (0.0, 2.0)
+
+
+def test_to_nhw_multichannel_folds_channels_into_planes():
+    """(B,T,H,W,C>1) must score each channel as its own (H,W) plane, not
+    treat the trailing (W,C) pair as the image."""
+    import jax.numpy as jnp
+
+    from p2igan_tpu.metrics.metric import _to_nhw
+
+    x = jnp.arange(2 * 3 * 4 * 5 * 2, dtype=jnp.float32).reshape(2, 3, 4, 5, 2)
+    out = _to_nhw(x)
+    assert out.shape == (2 * 3 * 2, 4, 5)
+    # plane content preserved: batch 0, frame 0, channel 1
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(x[0, 0, :, :, 1]))

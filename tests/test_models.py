@@ -202,3 +202,43 @@ def test_from_config_idw_budget_covers_every_mask_type(rng):
             worst = max(worst, int(m.sum()))
         assert gen.idw_max_points >= worst, (
             f"{mask_type}: budget {gen.idw_max_points} < observed {worst}")
+
+
+def test_from_config_stis_budget_counts_gauge_file(tmp_path):
+    """stis budgets derive from the actual gauge count in the mask file —
+    a 300-gauge file must not be truncated to the old 256 static cap."""
+    from p2igan_tpu.models import P2IGenerator
+
+    H = W = 64
+    T = 8
+    rng = np.random.default_rng(0)
+    mat = np.zeros((H, W), np.int64)
+    flat = rng.choice(H * W, 300, replace=False)
+    mat[np.unravel_index(flat, (H, W))] = 1
+    f = tmp_path / "gauges.txt"
+    np.savetxt(f, mat, fmt="%d")
+    cfg = {"model": {"name": "p2igan", "base_channels": 4 * T},
+           "data": {"train": {"data_root": "x", "h": H, "w": W,
+                              "sample_length": T,
+                              "mask": {"type": "stis", "file": str(f)}}}}
+    gen = P2IGenerator.from_config(cfg)
+    assert gen.idw_max_points >= T * 300
+    # unreadable file falls back to the documented 256-gauge cap
+    cfg["data"]["train"]["mask"]["file"] = str(tmp_path / "missing.txt")
+    gen2 = P2IGenerator.from_config(cfg)
+    assert gen2.idw_max_points >= T * 256
+
+
+def test_snconv_3d_default_stride_padding():
+    """A 3D SNConv with the (2D) default stride/padding must broadcast them
+    to rank 3 instead of crashing inside lax.conv_general_dilated."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.ops.spectral_norm import SNConv
+
+    conv = SNConv(2, 4, kernel_size=(3, 3, 3))
+    x = jnp.ones((1, 4, 8, 8, 2))
+    vars_ = conv.init(jax.random.key(0), x)
+    out = conv.apply(vars_, x)
+    assert out.shape == (1, 4, 8, 8, 4)

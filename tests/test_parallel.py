@@ -86,7 +86,7 @@ def test_metric_state_psum_reduction(rng):
     def local_update(p, t):
         st = M.categorical_metrics_init(len(thresholds))
         st = M.categorical_metrics_update(st, p[0], t[0], thresholds)
-        return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "data"), st)
+        return M.RainfallMetricSuite.psum_state(st, "data")
 
     f = shard_map(local_update, mesh=mesh, in_specs=(P("data"), P("data")),
                   out_specs=P())

@@ -33,9 +33,9 @@ PAPER_SUB = 20
 
 
 def _to_uint8(frame: np.ndarray, vmin: float, vmax: float) -> np.ndarray:
-    frame = np.clip(frame, vmin, vmax)
-    if vmax <= vmin:
+    if vmax <= vmin:  # widen a degenerate range BEFORE clipping
         vmax = vmin + 1.0
+    frame = np.clip(frame, vmin, vmax)
     return (((frame - vmin) / (vmax - vmin)) * 255.0).astype(np.uint8)
 
 
@@ -204,8 +204,11 @@ def run_exp2(preds: Dict[str, Union[str, np.ndarray]],
         total = min([truth_ev.shape[0]] + [p.shape[0] for p in preds_ev.values()])
         combo = {input_label: masked_input[:total], truth_label: truth_ev[:total]}
         combo.update({k: v[:total] for k, v in preds_ev.items()})
+        # reference exp2.py:223 renders "event_01 | total frames 16"; the
+        # count is only known here, so the caller passes the event label
         save_combo_gif(combo, os.path.join(out_dir, out_name), cmap, norm,
-                       gif_fps, input_mask=mask_train, title=title)
+                       gif_fps, input_mask=mask_train,
+                       title=f"{title} | total frames {total}")
         return total
 
     if isinstance(truth, str) and isinstance(observation, str):
@@ -222,15 +225,14 @@ def run_exp2(preds: Dict[str, Union[str, np.ndarray]],
                 return load_event_array(src, _k) if isinstance(src, str) else src
 
             total = one_event(truth_ev, obs_ev, getter,
-                              f"comparison_{event_key}.gif",
-                              f"{event_key} | total frames")
+                              f"comparison_{event_key}.gif", event_key)
             range_lines.append(f"{event_key}: frames 1-{total} (count={total})")
         save_text(os.path.join(out_dir, "event_ranges.txt"), range_lines)
         return
 
     one_event(np.asarray(truth), np.asarray(observation),
               lambda name: np.asarray(preds[name]), "comparison_event_01.gif",
-              "Event 01 | total frames")
+              "Event 01")
 
 
 def event_key_name(event_id: int) -> str:

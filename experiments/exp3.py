@@ -150,7 +150,8 @@ def logfreq_plot(pred_list, true, labels, save_path, lim=(0, 32), bins=64) -> No
     hist_t, _ = np.histogram(tf, bins=bin_edges)
     ax.semilogy(bin_edges[:-1], hist_t / max(hist_t.sum(), 1), color='black',
                 lw=1.6, label='Obs')
-    for pred, label, color in zip(pred_list, labels, SCATTER_COLORS):
+    for i, (pred, label) in enumerate(zip(pred_list, labels)):
+        color = SCATTER_COLORS[i % len(SCATTER_COLORS)]
         pf = np.asarray(pred, np.float64).ravel()
         pf = pf[np.isfinite(pf)]
         if pf.size == 0:
@@ -220,17 +221,29 @@ def _per_event_pass(preds: Dict[str, Dict[str, np.ndarray]],
     scores: Dict[str, List[float]] = {name: [] for name in preds}
     chunks: Dict[str, List[np.ndarray]] = {name: [] for name in preds}
     truth_by: Dict[str, List[np.ndarray]] = {name: [] for name in preds}
+    # legacy flat (non-dict) stores hold all events concatenated in truth's
+    # key order (the layout exp1's pairing also accepts): slice sequentially
+    flat_offset: Dict[str, int] = {}
 
     for key, truth_ev in truth.items():
         if truth_ev is None:
             continue
+        t_len = int(np.asarray(truth_ev).shape[0])
         truth_ev = crop_center(transform_mmhr(truth_ev), crop_size)
         for name, src in preds.items():
-            if not isinstance(src, dict) or src.get(key) is None:
-                logging.warning("exp3: method %r has no event %r; event "
-                                "excluded from its aggregates", name, key)
+            if isinstance(src, dict):
+                raw_ev = src.get(key)
+            else:
+                off = flat_offset.get(name, 0)
+                raw_ev = np.asarray(src)[off:off + t_len]
+                flat_offset[name] = off + t_len
+                if raw_ev.shape[0] == 0:
+                    raw_ev = None
+            if raw_ev is None:
+                logging.warning("exp3: method %r has no frames for event %r; "
+                                "event excluded from its aggregates", name, key)
                 continue
-            pred_ev = transform_mmhr(src[key])
+            pred_ev = transform_mmhr(raw_ev)
             pred_ev, truth_al = align_length(pred_ev, truth_ev)
             pred_ev = crop_center(pred_ev, crop_size)
             scores[name].append(_event_nse_score(pred_ev, truth_al, mask, mode))

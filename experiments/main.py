@@ -18,7 +18,7 @@ import numpy as np
 
 from .config import ExperimentConfig, ModeConfig, build_config, get_mode_config
 from .exp1 import run_exp1
-from .exp2 import run_exp2, run_exp2_paper_zarr
+from .exp2 import run_exp2, run_exp2_paper, run_exp2_paper_zarr
 from .exp3 import run_exp3
 from .io import (center_square, ensure_dir, load_mask, load_zarr_array,
                  save_config_snapshot, save_json, save_text)
@@ -87,15 +87,38 @@ def stage_exp2_gif(ctx: EvalContext) -> None:
 
 def stage_exp2_pdf(ctx: EvalContext) -> None:
     cfg, mode_cfg = ctx.cfg, ctx.mode_cfg
+    mask_path = cfg.exp2_paper_mask_path or mode_cfg.mask_train_path
+    if cfg.exp2_paper_folders:
+        # per-method PNG-folder variant: the reference imports run_exp2_paper
+        # but never dispatches it and leaves exp2_paper_folders/_method_order
+        # dormant; here setting exp2_paper_folders activates it
+        run_exp2_paper(
+            folders=cfg.exp2_paper_folders,
+            method_order=cfg.exp2_paper_method_order,
+            events=cfg.exp2_paper_events,
+            mask_path=mask_path,
+            crop_size=cfg.crop_size,
+            out_dir=ctx.out_dir("exp2_pdf"),
+            output_pdf=cfg.exp2_paper_output_pdf,
+            crop_pdf=False,
+            crop_output=cfg.exp2_paper_crop_output,
+        )
+        return
+    # zarr variant: the reference hardcodes this order (main.py:114); a user
+    # override of exp2_paper_method_order in the JSON config takes precedence
+    default_order = tuple(ExperimentConfig().exp2_paper_method_order)
+    order = (("RadarMasked", "Nimrod", *mode_cfg.methods.keys())
+             if tuple(cfg.exp2_paper_method_order) == default_order
+             else tuple(cfg.exp2_paper_method_order))
     run_exp2_paper_zarr(
         observation_path=mode_cfg.observation_path,
         methods=mode_cfg.methods,
         events=cfg.exp2_paper_events,
-        mask_path=cfg.exp2_paper_mask_path or mode_cfg.mask_train_path,
+        mask_path=mask_path,
         crop_size=cfg.crop_size,
         out_dir=ctx.out_dir("exp2_pdf"),
         output_pdf=cfg.exp2_paper_output_pdf,
-        method_order=("RadarMasked", "Nimrod", *mode_cfg.methods.keys()),
+        method_order=order,
         crop_pdf=False,
         crop_output=cfg.exp2_paper_crop_output,
     )

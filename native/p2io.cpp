@@ -84,8 +84,10 @@ int decode(const uint8_t* src, size_t src_n, uint8_t* dst, size_t dst_n, int cod
             return (!ZSTD_isError(r) && r == dst_n) ? 0 : -1;
         }
         case BLOSC: {
+            // r is the decompressed byte count; a truncated/corrupt chunk can
+            // succeed with fewer bytes, which must not pass as a full chunk
             int r = blosc_decompress_ctx(src, dst, dst_n, 1);
-            return r >= 0 ? 0 : -1;
+            return (r >= 0 && static_cast<size_t>(r) == dst_n) ? 0 : -1;
         }
         default:
             return -1;
@@ -112,6 +114,10 @@ int p2io_read_window_u8(const char** paths, const int32_t* chunk_idx,
 
 #pragma omp parallel for schedule(dynamic)
     for (int32_t c = 0; c < n_chunks; ++c) {
+      // An exception escaping an OpenMP region is std::terminate: the vector
+      // allocations below may throw bad_alloc under memory pressure, which
+      // must become status=-1 (Python-reader fallback), not a host abort.
+      try {
         const int32_t it = chunk_idx[3 * c + 0];
         const int32_t iy = chunk_idx[3 * c + 1];
         const int32_t ix = chunk_idx[3 * c + 2];
@@ -153,6 +159,10 @@ int p2io_read_window_u8(const char** paths, const int32_t* chunk_idx,
                 std::memcpy(dst, src, static_cast<size_t>(span_x));
             }
         }
+      } catch (...) {
+#pragma omp atomic write
+        status = -1;
+      }
     }
     return status;
 }

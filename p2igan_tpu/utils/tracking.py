@@ -47,15 +47,35 @@ class FileTracker:
 
     def start_run(self, run_name: Optional[str] = None):
         run_name = run_name or f"run-{uuid.uuid4().hex[:8]}"
-        self.run_dir = self.root / self.experiment / run_name
+        # mlflow creates a NEW run per start_run even under a repeated
+        # run_name; mirror that by suffixing instead of appending a second
+        # run's metrics into the first one's metrics.jsonl
+        run_dir = self.root / self.experiment / run_name
+        n = 1
+        while run_dir.exists():
+            n += 1
+            run_dir = self.root / self.experiment / f"{run_name}-{n}"
+        self.run_dir = run_dir
         (self.run_dir / "artifacts").mkdir(parents=True, exist_ok=True)
+        run_id = uuid.uuid4().hex
         (self.run_dir / "meta.json").write_text(
-            json.dumps({"run_name": run_name, "start_time": time.time()})
+            json.dumps({"run_name": run_name, "run_id": run_id,
+                        "start_time": time.time()})
         )
         self._metrics_f = (self.run_dir / "metrics.jsonl").open("a")
         tracker = self
 
+        class _Info:
+            def __init__(self_inner):
+                self_inner.run_id = run_id
+                self_inner.run_name = run_name
+                self_inner.artifact_uri = str(run_dir / "artifacts")
+
         class _Ctx:
+            # mlflow ActiveRun-shaped handle: usable both as a context
+            # manager and directly (`run.info.run_id`)
+            info = _Info()
+
             def __enter__(self_inner):
                 return self_inner
 

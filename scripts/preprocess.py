@@ -72,9 +72,10 @@ def main() -> None:
         )
         arr.attrs.update({"event_id": event_id, "timestamp": ts,
                           "num_frames": T, "source_file": fname})
-        for start in range(0, T - args.window + 1, args.stride):
+        starts = range(0, T - args.window + 1, args.stride)
+        for start in starts:
             window_index.append([event_id, start, args.window])
-        print(f"packed {fname}: {T} frames -> {max(0, T - args.window + 1)} windows")
+        print(f"packed {fname}: {T} frames -> {len(starts)} windows")
 
     idx = index_grp.create_dataset(
         "windows", shape=(len(window_index), 3), chunks=(1024, 3), dtype="int32",

@@ -222,3 +222,23 @@ def test_exp3_event_pairing_survives_missing_events(tmp_path, rng):
                             out_dir=str(tmp_path))
     assert abs(metrics["NSE_gappy"] - 1.0) < 1e-6
     assert abs(metrics["NSE_full"] - 1.0) < 1e-6
+
+
+def test_exp3_accepts_flat_prediction_store():
+    """A legacy flat (non-dict) prediction array pairs against the truth
+    events sequentially — the layout exp1 already accepts — instead of being
+    silently dropped from every exp3 aggregate."""
+    from experiments.exp3 import _per_event_pass
+
+    rng = np.random.default_rng(5)
+    truth = {"event_01": rng.random((4, 16, 16)).astype(np.float32),
+             "event_02": rng.random((6, 16, 16)).astype(np.float32)}
+    flat = np.concatenate([truth["event_01"], truth["event_02"]], axis=0)
+    mask = np.ones((16, 16), np.float32)
+    paired, scores = _per_event_pass(
+        {"flat": flat * 0.9, "keyed": {k: v * 0.9 for k, v in truth.items()}},
+        truth, mask, "radar", 16)
+    assert set(paired) == {"flat", "keyed"}
+    np.testing.assert_allclose(paired["flat"][0], paired["keyed"][0])
+    assert len(scores["flat"]) == 2
+    np.testing.assert_allclose(scores["flat"], scores["keyed"])

@@ -70,3 +70,23 @@ def test_keystream_distinct():
 
     k1, k2 = ks(), ks()
     assert not np.array_equal(jax.random.key_data(k1), jax.random.key_data(k2))
+
+
+def test_file_tracker_repeated_run_name_gets_fresh_dir(tmp_path):
+    """Two runs under one run_name must not interleave metrics (mlflow
+    creates a new run per start_run; the file tracker suffixes the dir)."""
+    from p2igan_tpu.utils.tracking import FileTracker
+
+    tr = FileTracker(tmp_path)
+    with tr.start_run("fixed") as run1:
+        first_dir = tr.run_dir
+        tr.log_metric("loss", 1.0, step=0)
+        assert run1.info.run_id  # ActiveRun-shaped handle
+    with tr.start_run("fixed") as run2:
+        second_dir = tr.run_dir
+        tr.log_metric("loss", 2.0, step=0)
+        assert run2.info.run_id != run1.info.run_id
+    assert first_dir != second_dir
+    lines1 = (first_dir / "metrics.jsonl").read_text().strip().splitlines()
+    lines2 = (second_dir / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines1) == 1 and len(lines2) == 1

@@ -21,6 +21,7 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.layers import (
     BasicConvDO,
@@ -174,6 +175,16 @@ class P2IGenerator(nn.Module):
 
         max_gauges = InputBlock.gauge_budget(self.idw_max_points,
                                              self.length)
+        # the static nonzero gather truncates silently under jit; when the
+        # mask is concrete (the hoisted host-side path) we can check it
+        if not isinstance(mask_xy, jax.core.Tracer):
+            n_obs = int(np.asarray(mask_xy > 0).sum())
+            if n_obs > max_gauges:
+                raise ValueError(
+                    f"mask has {n_obs} observed gauges but the IDW budget "
+                    f"allows {max_gauges} (idw_max_points="
+                    f"{self.idw_max_points}, length={self.length}); raise "
+                    f"idw_max_points or fix the mask config")
         return factored_prepare_full(mask_xy, max_gauges, k=4)
 
     @nn.compact

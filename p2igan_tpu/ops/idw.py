@@ -110,6 +110,12 @@ def factored_prepare_full(
     Split out so callers whose batch shares one mask (stis gauge files;
     sliding-window inference over one event) compute it ONCE and reuse it
     across samples.
+
+    WARNING: the static-shape ``jnp.nonzero(size=max_gauges)`` SILENTLY
+    truncates observed gauges beyond ``max_gauges`` (jit cannot raise on a
+    traced count). Callers must bound the budget from the mask/config —
+    ``P2IGenerator.from_config`` counts the stis gauge file exactly, and
+    ``P2IGenerator.prepare_idw`` guards concrete masks host-side.
     Returns (gd2 (HW, k) top-k gauge distances^2 per pixel,
     gsel (HW, k) gauge-slot indices sorted ascending by gauge pixel,
     gauge_pix (G,) flat pixel index per gauge slot, HW-1 for padding slots).

@@ -22,6 +22,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..idw import round_up
+
 BIGD = np.float32(1e15)  # sqrt(1e30) sentinel for invalid candidates
 
 
@@ -76,6 +78,18 @@ def _idw_weight(d_min: jax.Array, rho: float, tau: float) -> jax.Array:
     return jnp.where(d_min < BIGD, w, 0.0)
 
 
+def _first_min_row(cd, d_min, row):
+    """Lowest-index candidate row attaining the per-lane minimum (explicit
+    tie-break). Mosaic's native argmin tie rule is NON-standard on both
+    axes (measured on v5e: the sublane axis follows the pairwise reduction
+    tree — e.g. tied rows {3,4} pick 4), so ties are broken explicitly with
+    an integer min-reduce over the tied rows' indices, which has no ties by
+    construction and reproduces the reference's flat frame-major nonzero
+    order bit-exactly on hardware."""
+    big = jnp.int32(np.iinfo(np.int32).max)
+    return jnp.min(jnp.where(cd == d_min[None, :], row, big), axis=0)
+
+
 def _selection_weights(gd2_tiled: jax.Array, fz: jax.Array, row: jax.Array,
                        k: int, rho: float, tau: float):
     """One query-z extraction pass: the k min/argmin rounds over the
@@ -91,13 +105,34 @@ def _selection_weights(gd2_tiled: jax.Array, fz: jax.Array, row: jax.Array,
     w_sum = jnp.zeros((cd.shape[1],), jnp.float32)
     for _ in range(k):
         d_min = jnp.min(cd, axis=0)
-        idx = jnp.argmin(cd, axis=0)     # lowest index on ties
-        hit = row == idx[None, :]
+        hit = row == _first_min_row(cd, d_min, row)[None, :]
         w = _idw_weight(d_min, rho, tau)
         w_sum = w_sum + w
         wsel = wsel + jnp.where(hit, w[None, :], 0.0)
         cd = jnp.where(hit, BIGD, cd)
     return wsel, w_sum
+
+
+def _accumulate_values(cv: jax.Array, gd2_tiled: jax.Array, fz: jax.Array,
+                       row: jax.Array, k: int, rho: float, tau: float):
+    """One query-z extraction with the reference's PER-ROUND value
+    accumulation (wv_sum += w*v each of the k rounds — not the multi-window
+    kernel's reassociated wnorm·v). Shared by the two single-window forward
+    kernels so their tie-sensitive selection arithmetic exists exactly once;
+    returns the (B,) combined value row."""
+    cd = jnp.sqrt(gd2_tiled + fz)
+    cd = jnp.where(cd < BIGD, cd, BIGD)
+    w_sum = jnp.zeros((cd.shape[1],), jnp.float32)
+    wv_sum = jnp.zeros((cd.shape[1],), jnp.float32)
+    for _ in range(k):
+        d_min = jnp.min(cd, axis=0)
+        hit = row == _first_min_row(cd, d_min, row)[None, :]
+        v = jnp.sum(jnp.where(hit, cv, 0.0), axis=0)
+        w = _idw_weight(d_min, rho, tau)
+        w_sum = w_sum + w
+        wv_sum = wv_sum + w * v
+        cd = jnp.where(hit, BIGD, cd)
+    return wv_sum / (w_sum + 1e-12)
 
 
 def _route_table(sel, kf: int) -> np.ndarray:
@@ -147,20 +182,7 @@ def _combine_kernel(gd2_ref, cvals_ref, fd2_ref, out_ref, *, k: int, D: int,
         cv = jnp.concatenate(
             [cvals[f * k:(f + 1) * k] for f in sel[z]], axis=0)  # (kf*k, B)
         fz = fd2[z].reshape(kf * k, 1)
-        cd = jnp.sqrt(gd2_tiled + fz)
-        cd = jnp.where(cd < BIGD, cd, BIGD)
-        w_sum = jnp.zeros((B,), jnp.float32)
-        wv_sum = jnp.zeros((B,), jnp.float32)
-        for _ in range(k):
-            d_min = jnp.min(cd, axis=0)
-            idx = jnp.argmin(cd, axis=0)     # lowest index on ties
-            hit = row == idx[None, :]
-            v = jnp.sum(jnp.where(hit, cv, 0.0), axis=0)
-            w = _idw_weight(d_min, rho, tau)
-            w_sum = w_sum + w
-            wv_sum = wv_sum + w * v
-            cd = jnp.where(hit, BIGD, cd)
-        out_ref[z, :] = wv_sum / (w_sum + 1e-12)
+        out_ref[z, :] = _accumulate_values(cv, gd2_tiled, fz, row, k, rho, tau)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "D", "rho", "tau",
@@ -171,7 +193,7 @@ def factored_combine_pallas(gd2_t: jax.Array,    # (k, HW) gauge dists^2
                             k: int, D: int, rho: float = 2.0, tau: float = 0.05,
                             hw_block: int = 512, prune: bool = True) -> jax.Array:
     HW = gd2_t.shape[1]
-    HWp = -(-HW // hw_block) * hw_block
+    HWp = round_up(HW, hw_block)
     if HWp != HW:
         gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
         cvals_t = jnp.pad(cvals_t, ((0, 0), (0, HWp - HW)))
@@ -234,20 +256,7 @@ def _combine_table_kernel(gd2_ref, gsel_ref, table_ref, fd2_ref, out_ref, *,
         cv = jnp.concatenate(
             [cvals[f * k:(f + 1) * k] for f in sel[z]], axis=0)
         fz = fd2[z].reshape(kf * k, 1)
-        cd = jnp.sqrt(gd2_tiled + fz)
-        cd = jnp.where(cd < BIGD, cd, BIGD)
-        w_sum = jnp.zeros((B,), jnp.float32)
-        wv_sum = jnp.zeros((B,), jnp.float32)
-        for _ in range(k):
-            d_min = jnp.min(cd, axis=0)
-            idx = jnp.argmin(cd, axis=0)
-            hit = row == idx[None, :]
-            v = jnp.sum(jnp.where(hit, cv, 0.0), axis=0)
-            w = _idw_weight(d_min, rho, tau)
-            w_sum = w_sum + w
-            wv_sum = wv_sum + w * v
-            cd = jnp.where(hit, BIGD, cd)
-        out_ref[z, :] = wv_sum / (w_sum + 1e-12)
+        out_ref[z, :] = _accumulate_values(cv, gd2_tiled, fz, row, k, rho, tau)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "D", "rho", "tau",
@@ -261,7 +270,7 @@ def factored_combine_table_pallas(gd2_t: jax.Array,   # (k, HW)
                                   prune: bool = True) -> jax.Array:
     HW = gd2_t.shape[1]
     G = table.shape[1]
-    HWp = -(-HW // hw_block) * hw_block
+    HWp = round_up(HW, hw_block)
     if HWp != HW:
         gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
         gsel_t = jnp.pad(gsel_t, ((0, 0), (0, HWp - HW)))
@@ -354,7 +363,7 @@ def factored_combine_table_multi_pallas(gd2_t: jax.Array,   # (k, HW)
     """(NW, D, HW) combine of NW same-mask windows in one selection pass."""
     HW = gd2_t.shape[1]
     NW, _, G = tables.shape
-    HWp = -(-HW // hw_block) * hw_block
+    HWp = round_up(HW, hw_block)
     if HWp != HW:
         gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
         gsel_t = jnp.pad(gsel_t, ((0, 0), (0, HWp - HW)))
@@ -447,7 +456,7 @@ def factored_combine_table_bwd_pallas(gd2_t: jax.Array,   # (k, HW)
                                       prune: bool = True) -> jax.Array:
     """d_table (D, G) of ``factored_combine_table_pallas`` w.r.t. ``table``."""
     HW = gd2_t.shape[1]
-    HWp = -(-HW // hw_block) * hw_block
+    HWp = round_up(HW, hw_block)
     if HWp != HW:
         # padded pixels get weight 0 (gd2=inf) and cotangent 0 — no effect
         gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
@@ -543,7 +552,7 @@ def factored_combine_table_multi_bwd_pallas(gd2_t: jax.Array,   # (k, HW)
     """d_tables (NW, D, G) of ``factored_combine_table_multi_pallas``."""
     HW = gd2_t.shape[1]
     NW = g.shape[0]
-    HWp = -(-HW // hw_block) * hw_block
+    HWp = round_up(HW, hw_block)
     if HWp != HW:
         gd2_t = jnp.pad(gd2_t, ((0, 0), (0, HWp - HW)), constant_values=1e30)
         gsel_t = jnp.pad(gsel_t, ((0, 0), (0, HWp - HW)))
@@ -663,8 +672,9 @@ def _gauge_topk_kernel(qx_ref, qy_ref, gx_ref, gy_ref, pen_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, (G, B), 0)
     BIG = jnp.float32(1e30)
     for a in range(k):
-        gd2_ref[a, :] = jnp.min(d, axis=0)
-        idx = jnp.argmin(d, axis=0)
+        dmin = jnp.min(d, axis=0)
+        idx = _first_min_row(d, dmin, row)
+        gd2_ref[a, :] = dmin
         gsel_ref[a, :] = idx
         d = jnp.where(row == idx[None, :], BIG, d)
 
@@ -677,7 +687,7 @@ def gauge_topk_pallas(qx: jax.Array, qy: jax.Array, gx: jax.Array,
     distances^2 (k, HW) and slot indices (k, HW)."""
     HW = qx.shape[0]
     G = gx.shape[0]
-    HWp = -(-HW // hw_block) * hw_block
+    HWp = round_up(HW, hw_block)
     if HWp != HW:
         qx = jnp.pad(qx, (0, HWp - HW))
         qy = jnp.pad(qy, (0, HWp - HW))

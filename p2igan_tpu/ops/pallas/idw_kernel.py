@@ -31,12 +31,24 @@ from jax.experimental.pallas import tpu as pltpu
 from ..idw import grid_points, round_up
 
 
-def _weight_from_d2(d2_min, rho: float, tau: float):
-    """IDW weight from the squared winner distance; shared by the forward
-    and backward kernels so their selection arithmetic stays identical
-    (invalid points carry a 1e30 penalty, making w ~1e-30 — effectively
-    zero without an explicit mask, matching the reference)."""
-    d_min = jnp.sqrt(d2_min)
+def _first_min_col(d2, d2_min, col):
+    """Lowest-index column attaining the row minimum (explicit tie-break).
+
+    Mosaic's native argmin tie rule is NON-standard on both axes (measured
+    on v5e: lane axis prefers the highest lane then the lowest 128-group;
+    the sublane axis follows the pairwise reduction tree), so ties are
+    broken explicitly: an integer min-reduce over the tied columns' indices
+    has no ties by construction and matches XLA/numpy first-index — i.e.
+    the torch reference's selection order — bit-exactly on hardware."""
+    big = jnp.int32(np.iinfo(np.int32).max)
+    return jnp.min(jnp.where(d2 == d2_min, col, big), axis=1, keepdims=True)
+
+
+def _weight_from_d(d_min, rho: float, tau: float):
+    """IDW weight from the winner distance; shared by the forward and
+    backward kernels so their selection arithmetic stays identical
+    (invalid points carry a 1e30 penalty -> d ~1e15, making w ~1e-30 —
+    effectively zero without an explicit mask, matching the reference)."""
     if abs(rho - 2.0) < 1e-6:
         invd = 1.0 / (d_min + tau)
         return invd * invd
@@ -73,8 +85,12 @@ def _idw_kernel(gp_ref, pts_ref, vals_ref, penalty_ref, out_ref, *,
     dx = gx - px
     dy = gy - py
     dz = gz - pz
-    # select on squared distance (monotonic); sqrt only the k winners
     d2 = dx * dx + dy * dy + dz * dz + penalty_ref[0, :].reshape(1, P)
+    # select on the f32 SQRT distance, not d2: sqrt collapses ULP-near d2
+    # pairs into exact ties, and the reference (torch cdist -> topk, like
+    # the XLA fallback) selects in that collapsed metric — selecting on d2
+    # flips the k-th neighbour at such pixels
+    d = jnp.sqrt(d2)
 
     vals = vals_ref[0, :].reshape(1, P)
     col = jax.lax.broadcasted_iota(jnp.int32, (qblk, P), 1)
@@ -83,14 +99,13 @@ def _idw_kernel(gp_ref, pts_ref, vals_ref, penalty_ref, out_ref, *,
     w_sum = jnp.zeros((qblk, 1), jnp.float32)
     wv_sum = jnp.zeros((qblk, 1), jnp.float32)
     for _ in range(k):
-        d2_min = jnp.min(d2, axis=1, keepdims=True)
-        idx = jnp.argmin(d2, axis=1).reshape(qblk, 1)
-        hit = col == idx
+        d_min = jnp.min(d, axis=1, keepdims=True)
+        hit = col == _first_min_col(d, d_min, col)
         v_min = jnp.sum(jnp.where(hit, vals, 0.0), axis=1, keepdims=True)
-        w = _weight_from_d2(d2_min, rho, tau)
+        w = _weight_from_d(d_min, rho, tau)
         w_sum = w_sum + w
         wv_sum = wv_sum + w * v_min
-        d2 = jnp.where(hit, inf, d2)
+        d = jnp.where(hit, inf, d)
 
     out_ref[0, :] = (wv_sum / (w_sum + 1e-12)).reshape(qblk)
 
@@ -155,7 +170,7 @@ def _idw_forward_single(points_xyz, values, valid, out_shape, k, rho, tau, q_blo
         out_shape=jax.ShapeDtypeStruct((1, Qp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=Qp * Pp * (9 + 6 * k), bytes_accessed=4 * (3 * Qp + 5 * Pp + Qp),
-            transcendentals=Qp * Pp,
+            transcendentals=Qp * Pp,  # the selection-metric tile sqrt
         ),
     )(jnp.asarray(gp), pts, vals, penalty)
     return out[0, :Q].reshape(D, H, W)
@@ -165,8 +180,8 @@ def _idw_topk_chunk_kernel(gp_ref, pts_ref, penalty_ref, d2_ref, idx_ref, *,
                            k: int, p_chunk: int):
     """Local top-k for one (query block, candidate chunk) grid cell.
 
-    Emits the chunk's k nearest squared distances and their GLOBAL candidate
-    indices; the exact global top-k is recovered outside by a lexicographic
+    Emits the chunk's k nearest f32 sqrt distances and their GLOBAL
+    candidate indices; the exact global top-k is recovered outside by a lexicographic
     (d2, idx) merge over the per-chunk winners (global top-k is always a
     subset of the union of chunk top-ks). VMEM holds only a
     (q_block, p_chunk) tile, so any candidate count compiles.
@@ -185,17 +200,19 @@ def _idw_topk_chunk_kernel(gp_ref, pts_ref, penalty_ref, d2_ref, idx_ref, *,
     dy = gy - py
     dz = gz - pz
     d2 = dx * dx + dy * dy + dz * dz + penalty_ref[0, :].reshape(1, P)
+    # select (and emit) the f32 sqrt distance — reference-collapsed ties
+    d = jnp.sqrt(d2)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (qblk, P), 1)
     inf = jnp.float32(np.inf)
     base = j * p_chunk
     for r in range(k):
-        d2_min = jnp.min(d2, axis=1, keepdims=True)
-        idx = jnp.argmin(d2, axis=1).reshape(qblk, 1)
+        d_min = jnp.min(d, axis=1, keepdims=True)
+        idx = _first_min_col(d, d_min, col)
         hit = col == idx
-        d2_ref[0, r, :] = d2_min.reshape(qblk)
+        d2_ref[0, r, :] = d_min.reshape(qblk)
         idx_ref[0, r, :] = (idx + base).reshape(qblk)
-        d2 = jnp.where(hit, inf, d2)
+        d = jnp.where(hit, inf, d)
 
 
 def _idw_forward_chunked(points_xyz, values, valid, out_shape, k, rho, tau,
@@ -203,10 +220,10 @@ def _idw_forward_chunked(points_xyz, values, valid, out_shape, k, rho, tau,
     """(out (D,H,W), (sel_idx (Q,k), w_norm (Q,k))) for large candidate sets.
 
     Phase A (Pallas): per-chunk local top-k over a (q_blocks, p_chunks) grid.
-    Phase B (XLA, tiny (Q, chunks*k) arrays): exact merge replaying Mosaic's
-    own argmin total order — min d2 first, ties by highest lane then lowest
-    lane group (see in-loop comment) — then IDW weights and the value gather.
-    The
+    Phase B (XLA, tiny (Q, chunks*k) arrays): exact merge under the same
+    explicit lowest-index tie order the in-chunk rounds apply — min d2
+    first, ties by lowest global candidate index — then IDW weights and the
+    value gather. The
     selected indices/weights are returned so the VJP is an exact scatter of
     the forward's own selection (no recompute, no tie drift).
     """
@@ -252,7 +269,7 @@ def _idw_forward_chunked(points_xyz, values, valid, out_shape, k, rho, tau,
         cost_estimate=pl.CostEstimate(
             flops=Qp * Pc * (9 + 3 * k),
             bytes_accessed=4 * (3 * Qp + 4 * Pc + 2 * k * Qp * n_pchunk),
-            transcendentals=0,
+            transcendentals=Qp * Pc,  # selection-metric sqrt
         ),
     )(jnp.asarray(gp), pts, penalty)
 
@@ -268,24 +285,14 @@ def _idw_forward_chunked(points_xyz, values, valid, out_shape, k, rho, tau,
     for _ in range(k):
         m = jnp.min(d2t, axis=1, keepdims=True)
         tied = d2t == m
-        # Mosaic's argmin tie rule (measured on v5e at row widths 2048 and
-        # 4096): the HIGHEST lane (idx % 128) wins first, then the LOWEST
-        # 128-lane group (idx // 128) — i.e. a per-lane min reduce across
-        # vregs (first vreg wins per lane) followed by a last-lane argmin.
-        # Chunk boundaries are multiples of 2048, so lanes/groups are
-        # globally aligned and the in-chunk rounds already follow this total
-        # order; replaying it here makes the merged selection bit-consistent
-        # with the single-pass kernel even at distance ties.
+        # lowest GLOBAL candidate index wins ties — the same explicit rule
+        # the in-chunk kernel rounds now apply (_first_min_col), so the
+        # merged selection is bit-consistent with the single-pass kernel
+        # AND with the XLA/torch-reference first-index order
         big_i = jnp.int32(np.iinfo(np.int32).max)
-        lane = idxt % 128
-        grp = idxt // 128
-        l_max = jnp.max(jnp.where(tied, lane, -1), axis=1, keepdims=True)
-        tied = tied & (lane == l_max)
-        g_min = jnp.min(jnp.where(tied, grp, big_i), axis=1, keepdims=True)
-        tied = tied & (grp == g_min)
-        sel = jnp.max(jnp.where(tied, idxt, -1), axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(tied, idxt, big_i), axis=1, keepdims=True)
         d2t = jnp.where(tied & (idxt == sel), inf, d2t)
-        w = _weight_from_d2(m, rho, tau)
+        w = _weight_from_d(m, rho, tau)
         w_sum = w_sum + w
         wv_sum = wv_sum + w * vals[sel[:, 0]][:, None]
         sel_idx.append(sel)
@@ -322,30 +329,29 @@ def _idw_bwd_kernel(gp_ref, pts_ref, penalty_ref, g_ref, dv_ref, *,
     dy = gy - py
     dz = gz - pz
     d2 = dx * dx + dy * dy + dz * dz + penalty_ref[0, :].reshape(1, P)
+    d = jnp.sqrt(d2)  # same collapsed selection metric as the forward
 
     g = g_ref[0, :].reshape(qblk, 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (qblk, P), 1)
     inf = jnp.float32(np.inf)
 
-    d2a = d2
+    da = d
     w_sum = jnp.zeros((qblk, 1), jnp.float32)
     for _ in range(k):
-        d2_min = jnp.min(d2a, axis=1, keepdims=True)
-        idx = jnp.argmin(d2a, axis=1).reshape(qblk, 1)
-        hit = col == idx
-        w_sum = w_sum + _weight_from_d2(d2_min, rho, tau)
-        d2a = jnp.where(hit, inf, d2a)
+        d_min = jnp.min(da, axis=1, keepdims=True)
+        hit = col == _first_min_col(da, d_min, col)
+        w_sum = w_sum + _weight_from_d(d_min, rho, tau)
+        da = jnp.where(hit, inf, da)
 
     scale = g / (w_sum + 1e-12)              # (qblk, 1)
     dv = jnp.zeros((1, P), jnp.float32)
     for _ in range(k):
-        d2_min = jnp.min(d2, axis=1, keepdims=True)
-        idx = jnp.argmin(d2, axis=1).reshape(qblk, 1)
-        hit = col == idx
-        w = _weight_from_d2(d2_min, rho, tau)
+        d_min = jnp.min(d, axis=1, keepdims=True)
+        hit = col == _first_min_col(d, d_min, col)
+        w = _weight_from_d(d_min, rho, tau)
         dv = dv + jnp.sum(jnp.where(hit, w * scale, 0.0), axis=0,
                           keepdims=True)
-        d2 = jnp.where(hit, inf, d2)
+        d = jnp.where(hit, inf, d)
 
     dv_ref[0, 0, :] = dv.reshape(P)
 
@@ -385,7 +391,7 @@ def idw_3d_knn_bwd_pallas(points_xyz, valid, g, out_shape, k=4, rho=2.0,
         cost_estimate=pl.CostEstimate(
             flops=Qp * Pp * (9 + 12 * k),
             bytes_accessed=4 * (4 * Qp + 4 * Pp + nblk * Pp),
-            transcendentals=2 * Qp * Pp,
+            transcendentals=Qp * Pp,  # selection-metric sqrt
         ),
     )(jnp.asarray(gp), pts, penalty, gflat)
     return jnp.sum(parts, axis=(0, 1))[:P]

@@ -191,9 +191,10 @@ class Trainer:
                 from ..ops.pallas.decode_mask import decode_normalize_mask
 
                 def _decode(u8, mask_u8):
-                    mask = mask_u8.astype(jnp.float32)
-                    video, masked = decode_normalize_mask(u8, mask)
-                    return video, masked, mask
+                    # kernel widens the u8 mask in VMEM; the f32 mask for the
+                    # train step is produced separately (XLA fuses it)
+                    video, masked = decode_normalize_mask(u8, mask_u8)
+                    return video, masked, mask_u8.astype(jnp.float32)
 
                 self._decode_fn = jax.jit(_decode)
             return self._decode_fn(put(batch[0]), put(batch[1]))

@@ -154,6 +154,39 @@ def test_idw_chunked_matches_xla(rng):
                                rtol=1e-4)
 
 
+@pytest.mark.parametrize("P", [300, 4596])  # single-pass and chunked paths
+def test_idw_tie_order_matches_xla(rng, P):
+    """Exact-tie candidates must pick the SAME neighbours as the XLA path.
+
+    Candidates sit on the power-of-two grid lattice (H=W=17 => spacing
+    1/16), so every dx, dx^2, and 3-term d^2 sum is EXACT in f32 — FMA
+    contraction (the usual interpret-vs-XLA ULP noise other tests
+    tolerate) cannot perturb a distance, and with duplicated points +
+    symmetric offsets the k=4 boundary is dominated by genuine exact ties.
+    Any tie-order divergence from the XLA argmin's first-index rule flips
+    a selected value and shows up at O(0.1); the 1e-5 tolerance admits
+    only accumulation-FMA noise. Guards the explicit lowest-index
+    min-reduce tie rule in every kernel round (single-pass and chunked;
+    measured bit-exact, max abs 0.0, on a real chip)."""
+    from p2igan_tpu.ops.pallas.idw_kernel import (_P_SINGLE_PASS_MAX,
+                                                  idw_3d_knn_pallas)
+
+    assert (P > _P_SINGLE_PASS_MAX) == (P == 4596)
+    D, H, W = 2, 17, 17
+    iz = rng.integers(0, D, P)
+    iy = rng.integers(0, H, P)
+    ix = rng.integers(0, W, P)
+    pts = np.stack([ix / (W - 1), iy / (H - 1), iz / (D - 1)],
+                   axis=-1).astype(np.float32)
+    vals = rng.normal(size=(P,)).astype(np.float32)
+    valid = np.arange(P) < P - 37
+    ref = IDW.idw_3d_knn(jnp.asarray(pts), jnp.asarray(vals),
+                         jnp.asarray(valid), (D, H, W), k=4, chunk=512)
+    out = idw_3d_knn_pallas(jnp.asarray(pts), jnp.asarray(vals),
+                            jnp.asarray(valid), (D, H, W))
+    assert np.abs(np.asarray(ref) - np.asarray(out)).max() < 1e-5
+
+
 def test_idw_chunked_gradient_linearity(rng):
     """The chunked path's VJP scatters the forward's own selection; the op is
     exactly linear in values, so <vjp(g), v> == <g, f(v)>."""

@@ -119,6 +119,18 @@ def factored_prepare_full(
     Returns (gd2 (HW, k) top-k gauge distances^2 per pixel,
     gsel (HW, k) gauge-slot indices sorted ascending by gauge pixel,
     gauge_pix (G,) flat pixel index per gauge slot, HW-1 for padding slots).
+
+    Known metric boundary (documented, not matched): this spatial gauge cut
+    selects on squared distance, while the combine stage — like the torch
+    reference's full cdist->topk — ranks candidates on the f32 SQRT of
+    (gd2 + dz^2). If two gauges straddle a pixel's k-th boundary with gd2
+    values 1 ULP apart, the cut keeps the strictly-closer one, but in the
+    reference's sqrt-collapsed metric they are an exact tie and its
+    first-index rule may pick the other. Matching would require carrying
+    the tie margin through the cut (more than k gauges per pixel); the
+    effect is bounded by the reference's own CPU-vs-CUDA tie noise
+    (BASELINE.md tolerance table) and is orders below the shipped
+    tolerances.
     """
     H, W = mask_xy.shape
     HW = H * W

@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..idw import round_up
+from .select import first_min_index
 
 BIGD = np.float32(1e15)  # sqrt(1e30) sentinel for invalid candidates
 
@@ -80,14 +81,8 @@ def _idw_weight(d_min: jax.Array, rho: float, tau: float) -> jax.Array:
 
 def _first_min_row(cd, d_min, row):
     """Lowest-index candidate row attaining the per-lane minimum (explicit
-    tie-break). Mosaic's native argmin tie rule is NON-standard on both
-    axes (measured on v5e: the sublane axis follows the pairwise reduction
-    tree — e.g. tied rows {3,4} pick 4), so ties are broken explicitly with
-    an integer min-reduce over the tied rows' indices, which has no ties by
-    construction and reproduces the reference's flat frame-major nonzero
-    order bit-exactly on hardware."""
-    big = jnp.int32(np.iinfo(np.int32).max)
-    return jnp.min(jnp.where(cd == d_min[None, :], row, big), axis=0)
+    tie-break, see ops/pallas/select.py for the rationale)."""
+    return first_min_index(cd, d_min[None, :], row, axis=0)
 
 
 def _selection_weights(gd2_tiled: jax.Array, fz: jax.Array, row: jax.Array,

@@ -29,19 +29,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..idw import grid_points, round_up
+from .select import first_min_index
 
 
-def _first_min_col(d2, d2_min, col):
-    """Lowest-index column attaining the row minimum (explicit tie-break).
-
-    Mosaic's native argmin tie rule is NON-standard on both axes (measured
-    on v5e: lane axis prefers the highest lane then the lowest 128-group;
-    the sublane axis follows the pairwise reduction tree), so ties are
-    broken explicitly: an integer min-reduce over the tied columns' indices
-    has no ties by construction and matches XLA/numpy first-index — i.e.
-    the torch reference's selection order — bit-exactly on hardware."""
-    big = jnp.int32(np.iinfo(np.int32).max)
-    return jnp.min(jnp.where(d2 == d2_min, col, big), axis=1, keepdims=True)
+def _first_min_col(d, d_min, col):
+    """Lowest-index column attaining the row minimum (explicit tie-break,
+    see ops/pallas/select.py for the rationale)."""
+    return first_min_index(d, d_min, col, axis=1, keepdims=True)
 
 
 def _weight_from_d(d_min, rho: float, tau: float):
@@ -176,14 +170,14 @@ def _idw_forward_single(points_xyz, values, valid, out_shape, k, rho, tau, q_blo
     return out[0, :Q].reshape(D, H, W)
 
 
-def _idw_topk_chunk_kernel(gp_ref, pts_ref, penalty_ref, d2_ref, idx_ref, *,
+def _idw_topk_chunk_kernel(gp_ref, pts_ref, penalty_ref, d_ref, idx_ref, *,
                            k: int, p_chunk: int):
     """Local top-k for one (query block, candidate chunk) grid cell.
 
     Emits the chunk's k nearest f32 sqrt distances and their GLOBAL
-    candidate indices; the exact global top-k is recovered outside by a lexicographic
-    (d2, idx) merge over the per-chunk winners (global top-k is always a
-    subset of the union of chunk top-ks). VMEM holds only a
+    candidate indices; the exact global top-k is recovered outside by a
+    lexicographic (d, idx) merge over the per-chunk winners (global top-k
+    is always a subset of the union of chunk top-ks). VMEM holds only a
     (q_block, p_chunk) tile, so any candidate count compiles.
     """
     j = pl.program_id(1)
@@ -210,7 +204,7 @@ def _idw_topk_chunk_kernel(gp_ref, pts_ref, penalty_ref, d2_ref, idx_ref, *,
         d_min = jnp.min(d, axis=1, keepdims=True)
         idx = _first_min_col(d, d_min, col)
         hit = col == idx
-        d2_ref[0, r, :] = d_min.reshape(qblk)
+        d_ref[0, r, :] = d_min.reshape(qblk)
         idx_ref[0, r, :] = (idx + base).reshape(qblk)
         d = jnp.where(hit, inf, d)
 
@@ -221,8 +215,8 @@ def _idw_forward_chunked(points_xyz, values, valid, out_shape, k, rho, tau,
 
     Phase A (Pallas): per-chunk local top-k over a (q_blocks, p_chunks) grid.
     Phase B (XLA, tiny (Q, chunks*k) arrays): exact merge under the same
-    explicit lowest-index tie order the in-chunk rounds apply — min d2
-    first, ties by lowest global candidate index — then IDW weights and the
+    explicit lowest-index tie order the in-chunk rounds apply — min sqrt
+    distance first, ties by lowest global candidate index — then IDW weights and the
     value gather. The
     selected indices/weights are returned so the VJP is an exact scatter of
     the forward's own selection (no recompute, no tie drift).
@@ -247,7 +241,7 @@ def _idw_forward_chunked(points_xyz, values, valid, out_shape, k, rho, tau,
         vals = jnp.pad(vals, (0, Pc - P))
     n_qblk, n_pchunk = Qp // q_block, Pc // p_chunk
 
-    d2c, idxc = pl.pallas_call(
+    dc, idxc = pl.pallas_call(
         functools.partial(_idw_topk_chunk_kernel, k=k, p_chunk=p_chunk),
         grid=(n_qblk, n_pchunk),
         in_specs=[
@@ -274,7 +268,7 @@ def _idw_forward_chunked(points_xyz, values, valid, out_shape, k, rho, tau,
     )(jnp.asarray(gp), pts, penalty)
 
     # (n_pchunk, k, Qp) -> (Q, C) candidate tables, C = n_pchunk * k
-    d2t = d2c.reshape(n_pchunk * k, Qp).T[:Q]
+    dt = dc.reshape(n_pchunk * k, Qp).T[:Q]
     idxt = idxc.reshape(n_pchunk * k, Qp).T[:Q]
 
     inf = jnp.float32(np.inf)
@@ -283,15 +277,15 @@ def _idw_forward_chunked(points_xyz, values, valid, out_shape, k, rho, tau,
     sel_idx = []
     sel_w = []
     for _ in range(k):
-        m = jnp.min(d2t, axis=1, keepdims=True)
-        tied = d2t == m
+        m = jnp.min(dt, axis=1, keepdims=True)
+        tied = dt == m
         # lowest GLOBAL candidate index wins ties — the same explicit rule
         # the in-chunk kernel rounds now apply (_first_min_col), so the
         # merged selection is bit-consistent with the single-pass kernel
         # AND with the XLA/torch-reference first-index order
         big_i = jnp.int32(np.iinfo(np.int32).max)
         sel = jnp.min(jnp.where(tied, idxt, big_i), axis=1, keepdims=True)
-        d2t = jnp.where(tied & (idxt == sel), inf, d2t)
+        dt = jnp.where(tied & (idxt == sel), inf, dt)
         w = _weight_from_d(m, rho, tau)
         w_sum = w_sum + w
         wv_sum = wv_sum + w * vals[sel[:, 0]][:, None]

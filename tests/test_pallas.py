@@ -132,6 +132,50 @@ def test_decode_normalize_mask(rng, shape):
                                (u8.astype(np.float32) / 255.0) * mask, atol=1e-7)
 
 
+@pytest.mark.parametrize("mask_dtype", [np.uint8, np.float32, np.float16,
+                                        np.bool_])
+@pytest.mark.parametrize("mask_shape,shape", [
+    ((2, 4, 16, 128), (2, 4, 16, 128)),        # exact match
+    ((2, 1, 16, 128, 1), (2, 4, 16, 128, 1)),  # frame-constant sti/stis
+    ((16, 128), (2, 4, 16, 128)),              # general broadcast
+])
+def test_decode_mask_dtypes_and_broadcast(rng, mask_dtype, mask_shape, shape):
+    """The decode contract the trainer ships: masks in their raw pipeline
+    dtype (uint8, widened in-kernel through int32; f16/bool also accepted)
+    and the frame-constant (B,1,H,W,1) layout served via the block index
+    map without a materialized HBM broadcast. Pallas path must equal the
+    XLA fallback for every (dtype, layout) pair."""
+    from p2igan_tpu.ops.pallas.decode_mask import decode_normalize_mask
+
+    u8 = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    mask = (rng.random(mask_shape) < 0.3).astype(mask_dtype)
+    v_ref, m_ref = decode_normalize_mask(jnp.asarray(u8), jnp.asarray(mask),
+                                         use_pallas=False)
+    v_out, m_out = decode_normalize_mask(jnp.asarray(u8), jnp.asarray(mask),
+                                         use_pallas=True)
+    # 1e-7: the interpreter's jit rewrites /255 to *(1/255); on chip the
+    # kernel's true division is bit-identical to the host pipeline
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_out), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(m_ref), np.asarray(m_out), atol=1e-7)
+
+
+def test_decode_mask_frame_aligned_rows():
+    """block_rows that doesn't divide the frame row count must shrink to a
+    frame-aligned divisor on the frame-constant path, not blow up VMEM or
+    misalign the mask index map."""
+    from p2igan_tpu.ops.pallas.decode_mask import decode_normalize_mask
+
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, size=(2, 3, 24, 128), dtype=np.uint8)
+    mask = (rng.random((2, 1, 24, 128)) < 0.5).astype(np.uint8)
+    v_ref, m_ref = decode_normalize_mask(jnp.asarray(u8), jnp.asarray(mask),
+                                         use_pallas=False)
+    v_out, m_out = decode_normalize_mask(jnp.asarray(u8), jnp.asarray(mask),
+                                         use_pallas=True, block_rows=9)
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_out), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(m_ref), np.asarray(m_out), atol=1e-7)
+
+
 def test_idw_chunked_matches_xla(rng):
     """P > _P_SINGLE_PASS_MAX dispatches to the two-level chunked kernel
     (per-chunk local top-k + exact lexicographic merge); tie-free data must

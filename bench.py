@@ -33,7 +33,8 @@ V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak per v5e chip (f32 data still runs
 # on the MXU with bf16 passes under the default precision config)
 
 EVENT_T = 64          # frames per event (16 windows at step 4)
-N_EVENTS = 16         # measured: 16-event flattened batch beats 8 by ~2%
+N_EVENTS = 32         # measured ladder: 8 -> 16 (+2%) -> 32 (+1%, 132.3
+# ev/s); the flattened multi-event program keeps amortizing dispatch
 H = W = 128
 T = 16
 
@@ -117,11 +118,12 @@ def bench_inference(gen, variables):
 
 
 def _bench_train_throughput(gen, disc, state12, step_fn, mask_flat,
-                            batch: int = 48):
+                            batch: int = 128):
     """Throughput-optimal large-batch point (samples/sec keeps scaling past
-    the config's batch 12: measured 203 -> 255 -> 293 samples/s at
-    12/24/48). Reported alongside the config-workload number; skipped
-    silently on OOM."""
+    the config's batch 12: measured 214 -> 255 -> 313 -> 362 -> 409
+    samples/s at 12/24/48/96/128; 192 and 256 fail to compile on one v5e).
+    Reported alongside the config-workload number; skipped silently on
+    OOM."""
     import jax
     import jax.numpy as jnp
 

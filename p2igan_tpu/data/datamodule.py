@@ -44,10 +44,14 @@ def collate_pad_last(items: Sequence[Item]) -> Tuple[np.ndarray, ...]:
     """Stack items, padding shorter sequences by repeating the last frame.
 
     Items are (video, masked, mask) triples — or (video_u8, mask_u8) pairs in
-    the raw device-decode pipeline; every stream is padded/stacked alike."""
-    max_len = max(item[0].shape[0] for item in items)
-    return tuple(np.stack([pad_repeat_last(arr, max_len) for arr in stream])
-                 for stream in zip(*items))
+    the raw device-decode pipeline. Each stream pads to its OWN max length:
+    for the triples all streams share T (current behavior), while the raw
+    pipeline's frame-constant sti/stis masks stay (1, H, W, 1) — the device
+    decode broadcasts them, so the host never ships T copies."""
+    return tuple(
+        np.stack([pad_repeat_last(arr, max(a.shape[0] for a in stream))
+                  for arr in stream])
+        for stream in zip(*items))
 
 
 class Subset:

@@ -45,6 +45,9 @@ class _MaskMixin:
         self.block_sizes = mask_cfg.get("block_sizes", [4])
         self.mask_keep = mask_cfg.get("keep", 4)
         self.mask_interval = mask_cfg.get("interval", [2, 5])
+        # sti/stis broadcast one (H, W) pattern over all frames
+        # (masks.py create_mask_np); fi/nowcasting/stin vary per frame
+        self.mask_frame_constant = self.mask_type in ("sti", "stis")
 
     def _make_mask(self, shape, rng: np.random.Generator) -> np.ndarray:
         return create_mask_np(
@@ -233,6 +236,11 @@ class ZarrWindowDataset(_MaskMixin):
         if self.raw:
             video_u8 = np.ascontiguousarray(video)[..., np.newaxis]
             mask = self._make_mask(video_u8.shape, rng)
+            if self.mask_frame_constant:
+                # sti/stis masks broadcast ONE spatial pattern over T
+                # (masks.py create_mask_np); ship a single frame — the
+                # device decode's index-map path broadcasts it for free
+                mask = mask[:1]
             return video_u8, mask.astype(np.uint8)
         video = (video.astype(np.float32) / 255.0)[..., np.newaxis]
         mask = self._make_mask(video.shape, rng)

@@ -191,10 +191,14 @@ class Trainer:
                 from ..ops.pallas.decode_mask import decode_normalize_mask
 
                 def _decode(u8, mask_u8):
-                    # kernel widens the u8 mask in VMEM; the f32 mask for the
-                    # train step is produced separately (XLA fuses it)
+                    # kernel widens the u8 mask in VMEM (frame-constant
+                    # sti/stis masks arrive as (B,1,H,W,1) and broadcast via
+                    # the block index map); the f32 mask for the train step
+                    # is broadcast separately (XLA fuses it into the loss)
                     video, masked = decode_normalize_mask(u8, mask_u8)
-                    return video, masked, mask_u8.astype(jnp.float32)
+                    mask_f32 = jnp.broadcast_to(
+                        mask_u8, u8.shape).astype(jnp.float32)
+                    return video, masked, mask_f32
 
                 self._decode_fn = jax.jit(_decode)
             return self._decode_fn(put(batch[0]), put(batch[1]))

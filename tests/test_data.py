@@ -110,6 +110,29 @@ def test_loader_epoch_reshuffle(tree):
     assert loader.epoch == 1
 
 
+def test_raw_pipeline_ships_thin_frame_constant_masks(tree):
+    """device_decode raw mode with sti/stis masks ships ONE mask frame per
+    sample ((1,H,W,1) item, (B,1,H,W,1) after collate) — the device decode
+    broadcasts via its block index map — while per-frame mask types (fi,
+    nowcasting, stin) still ship full (T,H,W,1) masks."""
+    paths, root = tree
+    base = {"data_root": str(root / "nimrod_train.zarr"), "w": 48, "h": 48,
+            "device_decode": True}
+    ds = ZarrWindowDataset({**base, "mask": {"type": "sti",
+                                             "block_sizes": [8]}})
+    v, m = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert v.dtype == m.dtype == np.uint8
+    assert m.shape == (1, 48, 48, 1) and v.shape[0] > 1
+    vb, mb = collate_pad_last([ds.__getitem__(i, rng=np.random.default_rng(i))
+                               for i in (0, 1)])
+    assert mb.shape == (2, 1, 48, 48, 1) and vb.shape[1] == v.shape[0]
+
+    ds_fi = ZarrWindowDataset({**base, "mask": {"type": "fi",
+                                                "interval": [2]}})
+    _, m_fi = ds_fi.__getitem__(0, rng=np.random.default_rng(0))
+    assert m_fi.shape[0] == v.shape[0]  # per-frame masks stay full length
+
+
 def test_event_dataset_video_branch(tmp_path):
     """Video events (.avi) decode through the reference's video path
     (sti_dataset.py:178-182): RGB frames -> /255 -> channel-mean grayscale ->

@@ -48,10 +48,12 @@ def collate_pad_last(items: Sequence[Item]) -> Tuple[np.ndarray, ...]:
     for the triples all streams share T (current behavior), while the raw
     pipeline's frame-constant sti/stis masks stay (1, H, W, 1) — the device
     decode broadcasts them, so the host never ships T copies."""
-    return tuple(
-        np.stack([pad_repeat_last(arr, max(a.shape[0] for a in stream))
-                  for arr in stream])
-        for stream in zip(*items))
+    out = []
+    for stream in zip(*items):
+        max_len = max(arr.shape[0] for arr in stream)
+        out.append(np.stack([pad_repeat_last(arr, max_len)
+                             for arr in stream]))
+    return tuple(out)
 
 
 class Subset:

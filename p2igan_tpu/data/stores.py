@@ -235,12 +235,13 @@ class ZarrWindowDataset(_MaskMixin):
                          y0:y0 + self.crop_h, x0:x0 + self.crop_w]
         if self.raw:
             video_u8 = np.ascontiguousarray(video)[..., np.newaxis]
-            mask = self._make_mask(video_u8.shape, rng)
-            if self.mask_frame_constant:
-                # sti/stis masks broadcast ONE spatial pattern over T
-                # (masks.py create_mask_np); ship a single frame — the
-                # device decode's index-map path broadcasts it for free
-                mask = mask[:1]
+            # sti/stis masks broadcast ONE spatial pattern over T (masks.py
+            # create_mask_np, T-independent RNG draws): generate and ship a
+            # single frame — no host-side T-fold materialization — and the
+            # device decode's index-map path broadcasts it for free
+            mshape = ((1,) + video_u8.shape[1:] if self.mask_frame_constant
+                      else video_u8.shape)
+            mask = self._make_mask(mshape, rng)
             return video_u8, mask.astype(np.uint8)
         video = (video.astype(np.float32) / 255.0)[..., np.newaxis]
         mask = self._make_mask(video.shape, rng)

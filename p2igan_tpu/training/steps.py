@@ -62,11 +62,17 @@ def make_optimizer(opt_cfg: Dict[str, Any]) -> optax.GradientTransformation:
 
 
 def _gen_apply_factory(gen) -> Callable:
-    """Normalize generator apply across model families."""
+    """Normalize generator apply across model families.
+
+    Masks broadcast against ``masked`` here, INSIDE the step jit: the raw
+    device-decode pipeline ships frame-constant sti/stis masks as
+    ``(B, 1, H, W, C)`` and XLA fuses the expansion into the generator's
+    first consumers (a no-op for full-shape masks)."""
     from ..models import SimpleGenerator
 
     if isinstance(gen, SimpleGenerator):
         def apply_fn(params, extra, masked, masks, train):
+            masks = jnp.broadcast_to(masks, masked.shape)
             variables = {"params": params, **extra}
             if train:
                 preds, upd = gen.apply(variables, masked, masks, train=True,
@@ -75,6 +81,7 @@ def _gen_apply_factory(gen) -> Callable:
             return gen.apply(variables, masked, masks, train=False), extra
     else:
         def apply_fn(params, extra, masked, masks, train):
+            masks = jnp.broadcast_to(masks, masked.shape)
             return gen.apply({"params": params, **extra}, masked, masks), extra
     return apply_fn
 

@@ -193,12 +193,11 @@ class Trainer:
                 def _decode(u8, mask_u8):
                     # kernel widens the u8 mask in VMEM (frame-constant
                     # sti/stis masks arrive as (B,1,H,W,1) and broadcast via
-                    # the block index map); the f32 mask for the train step
-                    # is broadcast separately (XLA fuses it into the loss)
+                    # the block index map); the mask stays THIN here — the
+                    # step jit broadcasts it (steps._gen_apply_factory), so
+                    # no (B,T,H,W,1) f32 mask crosses the jit boundary
                     video, masked = decode_normalize_mask(u8, mask_u8)
-                    mask_f32 = jnp.broadcast_to(
-                        mask_u8, u8.shape).astype(jnp.float32)
-                    return video, masked, mask_f32
+                    return video, masked, mask_u8.astype(jnp.float32)
 
                 self._decode_fn = jax.jit(_decode)
             return self._decode_fn(put(batch[0]), put(batch[1]))

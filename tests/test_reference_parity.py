@@ -29,8 +29,13 @@ pytestmark = pytest.mark.slow
 
 
 def _install_torchmetrics_stub() -> None:
-    """p2igan_bench.modules.losses imports torchmetrics (not installed);
-    only the ``Metric`` base class is referenced at import time."""
+    """torchmetrics is not installed; provide a FUNCTIONAL ``Metric`` base
+    (add_state with reset-to-default semantics) so the reference's own
+    metrics/metric.py can be EXECUTED as an oracle, plus a no-op SSIM
+    (torchmetrics' gaussian SSIM would have to be re-implemented to stub it,
+    which would make the oracle circular — the ssim key is excluded from
+    the parity comparison instead; our SSIM is covered against a numpy
+    reference in tests/test_metrics.py)."""
     if "torchmetrics" in sys.modules:
         return
     tm = types.ModuleType("torchmetrics")
@@ -39,10 +44,36 @@ def _install_torchmetrics_stub() -> None:
         full_state_update = False
 
         def add_state(self, name, default=None, dist_reduce_fx=None):
+            if not hasattr(self, "_state_defaults"):
+                self._state_defaults = {}
+            self._state_defaults[name] = (
+                default.clone() if torch.is_tensor(default) else default)
             setattr(self, name, default)
 
+        def reset(self):
+            for name, default in getattr(self, "_state_defaults", {}).items():
+                setattr(self, name,
+                        default.clone() if torch.is_tensor(default) else default)
+            for child in self.children():
+                if isinstance(child, Metric):
+                    child.reset()
+
+    class _NoopSSIM(Metric):
+        def __init__(self, data_range=1.0):
+            super().__init__()
+
+        def update(self, preds, target):
+            pass
+
+        def compute(self):
+            return torch.tensor(float("nan"))
+
     tm.Metric = Metric
+    tm_image = types.ModuleType("torchmetrics.image")
+    tm_image.StructuralSimilarityIndexMeasure = _NoopSSIM
+    tm.image = tm_image
     sys.modules["torchmetrics"] = tm
+    sys.modules["torchmetrics.image"] = tm_image
 
 
 @pytest.fixture(scope="module")
@@ -359,3 +390,44 @@ def test_weighted_l1_and_shock_parity(ref):
     want_sm = ref.losses.shock_map(torch.from_numpy(x), beta=0.02).numpy()
     got_sm = np.asarray(shock_map(jnp.asarray(x), beta=0.02))
     np.testing.assert_allclose(got_sm, want_sm, atol=1e-5, rtol=1e-4)
+
+
+def test_online_metric_suite_parity(ref):
+    """The ONLINE metric suite vs the reference's EXECUTED metrics/metric.py
+    (RainfallMetricSuite under the functional torchmetrics stub): identical
+    MAE/RMSE, per-threshold POD/FAR/CSI/HSS, and per-(threshold, scale) FSS
+    across multi-batch accumulation and after a reset round. The ssim key is
+    excluded (the stub's SSIM is a no-op — see _install_torchmetrics_stub);
+    our SSIM is validated against a numpy gaussian reference in
+    tests/test_metrics.py. Ref: metric.py:28-239."""
+    import p2igan_bench.metrics.metric as ref_metric
+
+    from p2igan_tpu.metrics.metric import MetricConfig, RainfallMetricSuite
+
+    rng = np.random.default_rng(3)
+    ref_suite = ref_metric.RainfallMetricSuite(ref_metric.MetricConfig())
+    ours = RainfallMetricSuite(MetricConfig())
+
+    def one_round(n_updates):
+        for _ in range(n_updates):
+            p = rng.random((2, 3, 1, 12, 12)).astype(np.float32)  # [B,T,C,H,W]
+            t = (rng.random((2, 3, 1, 12, 12)) ** 2).astype(np.float32)
+            ref_suite.update(torch.from_numpy(p), torch.from_numpy(t))
+            ours.update(jnp.asarray(np.transpose(p, (0, 1, 3, 4, 2))),
+                        jnp.asarray(np.transpose(t, (0, 1, 3, 4, 2))))
+        want = ref_suite.compute()
+        got = ours.compute()
+        compared = 0
+        for key, val in want.items():
+            if key == "ssim":
+                continue
+            assert key in got, f"missing metric key {key}"
+            np.testing.assert_allclose(got[key], val, rtol=2e-4, atol=1e-6,
+                                       err_msg=key)
+            compared += 1
+        assert compared >= 2 + 4 * 4 + 4 * 4  # mae/rmse + cat + fss
+
+    one_round(3)
+    ref_suite.reset()
+    ours.reset()
+    one_round(2)  # reset semantics match: fresh accumulation, same values

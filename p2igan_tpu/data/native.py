@@ -110,3 +110,18 @@ def read_window_u8(
     if rc != 0:
         return None
     return out
+
+
+def zstd_compress(data: bytes, level: int = 3) -> Optional[bytes]:
+    """Native zstd compression (the store writer fast path); None when the
+    native lib is absent — callers fall back to the ctypes libzstd path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) + (len(data) >> 8) + 1024  # >= ZSTD_compressBound
+    dst = (ctypes.c_uint8 * cap)()
+    src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    n = lib.p2io_zstd_compress(src, len(data), dst, cap, int(level))
+    if n < 0:
+        return None
+    return bytes(bytearray(dst)[:n])

@@ -92,10 +92,16 @@ def compress(data: bytes, compressor: Optional[Dict[str, Any]], itemsize: int = 
 
         return gzip.compress(data, compressor.get("level", 1))
     if cid == "zstd":
+        level = int(compressor.get("level", 1))
+        from . import native as _native
+
+        fast = _native.zstd_compress(data, level)  # C++ fast path
+        if fast is not None:
+            return fast
         lib = _load_zstd()
         bound = lib.ZSTD_compressBound(len(data))
         out = ctypes.create_string_buffer(bound)
-        n = lib.ZSTD_compress(out, bound, data, len(data), int(compressor.get("level", 1)))
+        n = lib.ZSTD_compress(out, bound, data, len(data), level)
         if lib.ZSTD_isError(n):
             raise RuntimeError("zstd compression failed")
         return out.raw[:n]
@@ -160,14 +166,20 @@ class Attrs:
             self._data = json.loads(self._path.read_text())
 
     def _flush(self) -> None:
+        _atomic_write_text(
+            self._path, json.dumps(self._data, indent=2, default=_json_default))
+
+    def _check_writable(self) -> None:
+        # BEFORE mutating: a rejected write must not linger in memory and
+        # get silently persisted by a later successful flush
         if self._read_only:
             raise PermissionError("store is read-only")
-        self._path.write_text(json.dumps(self._data, indent=2, default=_json_default))
 
     def __getitem__(self, key: str) -> Any:
         return self._data[key]
 
     def __setitem__(self, key: str, value: Any) -> None:
+        self._check_writable()
         self._data[key] = value
         self._flush()
 
@@ -178,6 +190,7 @@ class Attrs:
         return self._data.get(key, default)
 
     def update(self, other: Dict[str, Any]) -> None:
+        self._check_writable()
         self._data.update(other)
         self._flush()
 
@@ -201,6 +214,20 @@ def _json_default(obj: Any) -> Any:
     raise TypeError(f"not JSON serializable: {type(obj)}")
 
 
+def _atomic_write_bytes(path: Path, data: bytes) -> None:
+    """Temp file + os.replace, like zarr's DirectoryStore: a concurrent
+    reader never sees a torn chunk/metadata file."""
+    import os
+
+    tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
+def _atomic_write_text(path: Path, text: str) -> None:
+    _atomic_write_bytes(path, text.encode())
+
+
 # ---------------------------------------------------------------------------
 # Array
 # ---------------------------------------------------------------------------
@@ -220,8 +247,10 @@ class Array:
         fv = meta.get("fill_value", 0)
         if fv is None:
             fv = 0
-        elif fv == "NaN":
-            fv = np.nan
+        elif isinstance(fv, str):
+            # zarr v2 spec encodes non-finite floats as JSON strings
+            fv = {"NaN": np.nan, "Infinity": np.inf,
+                  "-Infinity": -np.inf}.get(fv, fv)
         self.fill_value = fv
         self.order = meta.get("order", "C")
         if self.order != "C":
@@ -316,7 +345,10 @@ class Array:
                 chunk[src_sel] = value[dst_sel]
             raw = chunk.tobytes()
             payload = compress(raw, self.compressor, self.dtype.itemsize)
-            self._chunk_path(cidx).write_bytes(payload)
+            cp = self._chunk_path(cidx)
+            if self.sep == "/":
+                cp.parent.mkdir(parents=True, exist_ok=True)
+            _atomic_write_bytes(cp, payload)
 
     def __array__(self, dtype=None) -> np.ndarray:
         arr = self[...]
@@ -333,6 +365,9 @@ def _normalize_key(key: Any, shape: Tuple[int, ...]):
     if Ellipsis in key:
         i = key.index(Ellipsis)
         key[i:i + 1] = [slice(None)] * (len(shape) - len(key) + 1)
+    if len(key) > len(shape):
+        raise IndexError(
+            f"too many indices: {len(key)} for a {len(shape)}-d array")
     while len(key) < len(shape):
         key.append(slice(None))
     starts: List[int] = []
@@ -424,12 +459,24 @@ class Group:
     def keys(self) -> List[str]:
         return sorted(set(self.array_keys()) | set(self.group_keys()))
 
+    def _mark_groups_down_to(self, p: Path) -> None:
+        """Write .zgroup into every directory from self.path (exclusive) down
+        to ``p`` (inclusive) — nested names like 'a/b' must leave 'a' visible
+        as a group (zarr-python creates intermediates implicitly)."""
+        rel = p.relative_to(self.path)
+        cur = self.path
+        for part in rel.parts:
+            cur = cur / part
+            zg = cur / ".zgroup"
+            if not zg.exists() and not (cur / ".zarray").exists():
+                _atomic_write_text(zg, json.dumps({"zarr_format": 2}))
+
     def create_group(self, name: str) -> "Group":
         if self.read_only:
             raise PermissionError("store is read-only")
         p = self._child(name)
         p.mkdir(parents=True, exist_ok=True)
-        (p / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+        self._mark_groups_down_to(p)
         return Group(p, read_only=False)
 
     def require_group(self, name: str) -> "Group":
@@ -458,13 +505,25 @@ class Group:
                 shutil.rmtree(p)
             elif (p / ".zarray").exists():
                 raise FileExistsError(name)
+            elif (p / ".zgroup").exists():
+                # zarr-python raises ContainsGroupError: writing .zarray
+                # into a group dir would shadow its children
+                raise FileExistsError(f"a group already exists at {name!r}")
         p.mkdir(parents=True, exist_ok=True)
+        if p.parent != self.path:
+            self._mark_groups_down_to(p.parent)  # 'a/b' leaves 'a' a group
         shape = tuple(int(s) for s in shape)
         if chunks is None:
             chunks = shape
         chunks = tuple(min(int(c), s) if s > 0 else int(c) for c, s in zip(chunks, shape))
         comp = DEFAULT_COMPRESSOR if compressor == "default" else compressor
         dt = np.dtype(dtype)
+        if isinstance(fill_value, (float, np.floating)):
+            fill_value = float(fill_value)
+            if np.isnan(fill_value):
+                fill_value = "NaN"        # zarr v2 spec: non-finite floats
+            elif np.isinf(fill_value):    # are JSON strings
+                fill_value = "Infinity" if fill_value > 0 else "-Infinity"
         meta = {
             "zarr_format": 2,
             "shape": list(shape),
@@ -476,7 +535,8 @@ class Group:
             "filters": None,
             "dimension_separator": dimension_separator,
         }
-        (p / ".zarray").write_text(json.dumps(meta, indent=2))
+        _atomic_write_text(p / ".zarray",
+                           json.dumps(meta, indent=2, default=_json_default))
         arr = Array(p, read_only=False)
         if data is not None:
             arr[...] = data

@@ -95,3 +95,75 @@ def test_open_w_minus_refuses_existing(tmp_path):
     # but creates when absent
     g = zl.open(tmp_path / "new.zarr", mode="w-")
     assert list(g.array_keys()) == []
+
+
+def test_slash_dimension_separator_roundtrip(tmp_path, rng):
+    """dimension_separator='/' writes nested chunk dirs (parents created)
+    and reads back; real zarr stores using '/' keys stay writable."""
+    g = zl.open(tmp_path / "s.zarr", mode="w")
+    data = rng.integers(0, 255, size=(4, 6, 6), dtype=np.uint8)
+    g.create_dataset("a", shape=data.shape, chunks=(2, 3, 3), dtype="uint8",
+                     dimension_separator="/", data=data)
+    arr = zl.open(tmp_path / "s.zarr", mode="r")["a"]
+    np.testing.assert_array_equal(arr[...], data)
+    assert (tmp_path / "s.zarr" / "a" / "0" / "0" / "0").exists()
+
+
+def test_too_many_indices_raises(tmp_path):
+    g = zl.open(tmp_path / "s.zarr", mode="w")
+    arr = g.create_dataset("a", shape=(10,), dtype="float32",
+                           data=np.arange(10, dtype=np.float32))
+    with pytest.raises(IndexError, match="too many"):
+        arr[2, 7]
+
+
+def test_nonfinite_fill_value_spec_strings(tmp_path):
+    """NaN/Infinity fill values round-trip as zarr-v2 spec JSON strings
+    (strict-JSON readers can parse the .zarray) and decode on read."""
+    import json as _json
+
+    g = zl.open(tmp_path / "s.zarr", mode="w")
+    for name, fv, want in (("n", float("nan"), "NaN"),
+                           ("i", float("inf"), "Infinity"),
+                           ("m", float("-inf"), "-Infinity")):
+        g.create_dataset(name, shape=(4,), chunks=(2,), dtype="float32",
+                         fill_value=fv)
+        meta = _json.loads((tmp_path / "s.zarr" / name / ".zarray").read_text())
+        assert meta["fill_value"] == want
+        out = zl.open(tmp_path / "s.zarr", mode="r")[name][...]
+        assert np.isnan(out).all() if want == "NaN" else (out == fv).all()
+
+
+def test_numpy_scalar_fill_value(tmp_path):
+    g = zl.open(tmp_path / "s.zarr", mode="w")
+    g.create_dataset("a", shape=(3,), dtype="float32",
+                     fill_value=np.float32(2.5))
+    assert (zl.open(tmp_path / "s.zarr", mode="r")["a"][...] == 2.5).all()
+
+
+def test_create_dataset_refuses_existing_group(tmp_path):
+    g = zl.open(tmp_path / "s.zarr", mode="w")
+    g.create_group("x")
+    with pytest.raises(FileExistsError, match="group"):
+        g.create_dataset("x", shape=(4,), dtype="float32")
+
+
+def test_nested_dataset_creates_intermediate_groups(tmp_path):
+    g = zl.open(tmp_path / "s.zarr", mode="w")
+    g.create_dataset("a/b", shape=(4,), dtype="float32",
+                     data=np.zeros(4, np.float32))
+    root = zl.open(tmp_path / "s.zarr", mode="r")
+    assert "a" in root.group_keys()
+    assert root["a"].array_keys() == ["b"]
+
+
+def test_readonly_attrs_not_mutated_on_rejected_write(tmp_path):
+    g = zl.open(tmp_path / "s.zarr", mode="w")
+    g.attrs["k"] = 1
+    ro = zl.open(tmp_path / "s.zarr", mode="r")
+    with pytest.raises(PermissionError):
+        ro.attrs["other"] = 2
+    assert "other" not in ro.attrs  # in-memory state untouched
+    with pytest.raises(PermissionError):
+        ro.attrs.update({"x": 3})
+    assert "x" not in ro.attrs

@@ -64,16 +64,21 @@ def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _gaussian_blur(x: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.Array:
-    """Separable gaussian filter on (N, H, W), reflect-padded."""
+def _gaussian_blur_valid(x: jax.Array, size: int = 11,
+                         sigma: float = 1.5) -> jax.Array:
+    """Separable VALID-mode gaussian filter on (N, H, W) -> (N, H-2p, W-2p).
+
+    torchmetrics reflect-pads, blurs, then crops the pad-influenced border
+    away; valid-mode convolution of the unpadded image is the identical
+    result with none of the padded overcompute — and one stacked conv pair
+    replaces the reference's five independent pad+blur passes."""
     k = jnp.asarray(_gaussian_kernel1d(size, sigma))
-    pad = (size - 1) // 2
-    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="reflect")
-    x = jax.vmap(lambda img: jnp.apply_along_axis(
-        lambda v: jnp.convolve(v, k, mode="valid"), 0, img))(x)
-    x = jax.vmap(lambda img: jnp.apply_along_axis(
-        lambda v: jnp.convolve(v, k, mode="valid"), 1, img))(x)
-    return x
+    y = x[:, None]  # (N, 1, H, W)
+    y = jax.lax.conv_general_dilated(y, k.reshape(1, 1, size, 1), (1, 1),
+                                     "VALID")
+    y = jax.lax.conv_general_dilated(y, k.reshape(1, 1, 1, size), (1, 1),
+                                     "VALID")
+    return y[:, 0]
 
 
 def ssim_per_image(preds: jax.Array, target: jax.Array, data_range: float = 1.0,
@@ -83,19 +88,28 @@ def ssim_per_image(preds: jax.Array, target: jax.Array, data_range: float = 1.0,
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
     pad = (size - 1) // 2
+    if preds.shape[1] <= 2 * pad or preds.shape[2] <= 2 * pad:
+        # the border crop would empty the image and the mean of an empty
+        # slice is NaN, which would silently poison the running ssim_sum
+        raise ValueError(
+            f"SSIM window {size} needs images larger than {2 * pad} per "
+            f"side, got {preds.shape[1]}x{preds.shape[2]}")
 
-    mu_x = _gaussian_blur(preds, size, sigma)
-    mu_y = _gaussian_blur(target, size, sigma)
+    n = preds.shape[0]
+    stacked = jnp.concatenate(
+        [preds, target, preds * preds, target * target, preds * target],
+        axis=0)
+    mu_x, mu_y, e_xx, e_yy, e_xy = jnp.split(
+        _gaussian_blur_valid(stacked, size, sigma), 5, axis=0)
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
-    sig_x = _gaussian_blur(preds * preds, size, sigma) - mu_x2
-    sig_y = _gaussian_blur(target * target, size, sigma) - mu_y2
-    sig_xy = _gaussian_blur(preds * target, size, sigma) - mu_xy
+    sig_x = e_xx - mu_x2
+    sig_y = e_yy - mu_y2
+    sig_xy = e_xy - mu_xy
 
     num = (2 * mu_xy + c1) * (2 * sig_xy + c2)
     den = (mu_x2 + mu_y2 + c1) * (sig_x + sig_y + c2)
     ssim_map = num / den
-    ssim_map = ssim_map[:, pad:-pad, pad:-pad]
-    return ssim_map.reshape(ssim_map.shape[0], -1).mean(axis=-1)
+    return ssim_map.reshape(n, -1).mean(axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +189,12 @@ def categorical_metrics_compute(state: Dict[str, jax.Array],
         pod = hits / (hits + misses + EPS)
         far = false / (hits + false + EPS)
         csi = hits / (hits + misses + false + EPS)
+        # REFERENCE QUIRK kept for parity (metric.py:126): the first HSS
+        # denominator term is (misses+false)*(false+correct) where the
+        # textbook Heidke formula uses (hits+false)*(false+correct) — a
+        # perfect forecast scores 2.0 here, not 1.0. The offline exp1 suite
+        # uses its own (different, also reference-matching) HSS; both are
+        # pinned by the executed-reference oracle tests.
         denom = (misses + false) * (false + correct) + (hits + misses) * (misses + correct)
         hss = 2 * (hits * correct - misses * false) / (denom + EPS)
         prefix = f"cat_thr{thr:.2f}"
@@ -219,6 +239,10 @@ def fss_update(state: Dict[str, jax.Array], preds: jax.Array, target: jax.Array,
             ft = _fractional_mean(tm, int(scale))
             num = jnp.mean((fp - ft) ** 2)
             den = jnp.mean(fp ** 2 + ft ** 2)
+            # REFERENCE QUIRK kept for parity (metric.py:166-173): a batch
+            # with no pixels above the threshold in pred AND target scores
+            # 1.0 (0/EPS) and is counted, inflating high-threshold FSS on
+            # dry data; standard FSS treats the no-event case as undefined
             row.append(1.0 - num / (den + EPS))
         scores.append(jnp.stack(row))
     return {
@@ -302,10 +326,19 @@ class RainfallMetricSuite:
     """
 
     def __init__(self, config: MetricConfig | None = None):
-        self.cfg = config or MetricConfig()
+        cfg = config or MetricConfig()
+        # freeze the config at construction: the thresholds/scales are baked
+        # into the jitted _update closure, so reset()/compute() must read
+        # the SAME values — mutating suite.cfg afterwards would silently
+        # mislabel the accumulated counts
+        self.cfg = MetricConfig(
+            thresholds=tuple(float(t) for t in cfg.thresholds),
+            scales=tuple(int(s) for s in cfg.scales),
+            apply_transform=bool(cfg.apply_transform),
+            data_range=float(cfg.data_range))
         self.reset()
-        thr = tuple(float(t) for t in self.cfg.thresholds)
-        sc = tuple(int(s) for s in self.cfg.scales)
+        thr = self.cfg.thresholds
+        sc = self.cfg.scales
 
         @jax.jit
         def _update(state, preds, target):
@@ -341,8 +374,7 @@ class RainfallMetricSuite:
             lambda x: jax.lax.psum(x, axis_name), state)
 
     def compute(self) -> Dict[str, float]:
-        thr = tuple(float(t) for t in self.cfg.thresholds)
-        sc = tuple(int(s) for s in self.cfg.scales)
+        thr, sc = self.cfg.thresholds, self.cfg.scales
         reg, cat, fss = self.state
         out: Dict[str, float] = {}
         out.update(regression_metrics_compute(reg))

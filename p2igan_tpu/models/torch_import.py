@@ -64,6 +64,13 @@ class _Importer:
         if leftovers:
             raise ValueError(f"unconsumed torch keys: {leftovers}")
 
+    def variables(self) -> Dict[str, Any]:
+        """finish() + assemble the flax variables dict."""
+        self.finish()
+        out: Dict[str, Any] = {"params": self.params}
+        out.update(self.extra)
+        return out
+
     # -- common layer mappings ----------------------------------------
     def doconv(self, tprefix: str, fpath: Tuple[str, ...], kernel_size: int) -> None:
         W = self.take(f"{tprefix}.W")
@@ -132,10 +139,7 @@ def import_p2igan_generator(state: Dict[str, np.ndarray],
         pos = imp.take(f"UP.{k}.pos")  # (1, 1, H, W)
         imp.set((f"UP_{k}", "pos"), np.transpose(pos, (0, 2, 3, 1)))
         imp.conv2d(f"UP.{k}.proj", (f"UP_{k}", "proj"))
-    imp.finish()
-    out: Dict[str, Any] = {"params": imp.params}
-    out.update(imp.extra)
-    return out
+    return imp.variables()
 
 
 def import_p2igan_discriminator(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -145,10 +149,7 @@ def import_p2igan_discriminator(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
         imp.snconv(f"d3d.{idx}", f"d3d_{idx}", ndim=3)
     imp.set(("alpha2d",), imp.take("alpha2d"))
     imp.set(("alpha3d",), imp.take("alpha3d"))
-    imp.finish()
-    out: Dict[str, Any] = {"params": imp.params}
-    out.update(imp.extra)
-    return out
+    return imp.variables()
 
 
 def import_dk_generator(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -200,6 +201,12 @@ def remap_dk_visible_columns(variables: Dict[str, Any], order: np.ndarray,
     out = {"params": {"mlp": dict(variables["params"]["mlp"])}}
     fc1 = np.array(out["params"]["mlp"]["fc1"])  # (feature_dim, hidden)
     base = n_space + n_time
+    if base + t_blocks * k != fc1.shape[0]:
+        raise ValueError(
+            f"visible-column remap layout mismatch: n_space+n_time={base} "
+            f"plus {t_blocks} block(s) of {k} gauges != fc1 rows "
+            f"{fc1.shape[0]}; a wrong offset would silently permute the "
+            f"wrong rows")
     for b in range(t_blocks):
         off = base + b * k
         fc1[off:off + k] = fc1[off:off + k][perm]
@@ -230,10 +237,7 @@ def import_simple_generator(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     w = imp.take("decoder.4.weight")
     imp.set(("dec2_kernel",), np.transpose(w, (2, 3, 4, 1, 0)))
     imp.set(("dec2_bias",), imp.take("decoder.4.bias"))
-    imp.finish()
-    out: Dict[str, Any] = {"params": imp.params}
-    out.update(imp.extra)
-    return out
+    return imp.variables()
 
 
 _GENERATOR_IMPORTERS = {

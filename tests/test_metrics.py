@@ -4,6 +4,7 @@ import torch
 import torch.nn.functional as F
 
 from p2igan_tpu.metrics import metric as M
+import pytest
 
 
 def test_transform_matches_reference():
@@ -153,3 +154,25 @@ def test_to_nhw_multichannel_folds_channels_into_planes():
     assert out.shape == (2 * 3 * 2, 4, 5)
     # plane content preserved: batch 0, frame 0, channel 1
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(x[0, 0, :, :, 1]))
+
+
+def test_ssim_small_image_raises():
+    """Images the 11x11 window's border crop would empty must raise a named
+    error instead of silently poisoning ssim_sum with NaN."""
+    x = jnp.zeros((1, 8, 8), jnp.float32)
+    with pytest.raises(ValueError, match="SSIM window"):
+        M.ssim_per_image(x, x)
+
+
+def test_suite_config_frozen_at_init():
+    """thresholds/scales are baked into the jitted update closure; the suite
+    freezes its cfg copy so later mutation of the caller's config object
+    cannot desynchronize accumulation from reporting."""
+    cfg = M.MetricConfig(thresholds=[0.5, 2.0], scales=[1, 2])
+    suite = M.RainfallMetricSuite(cfg)
+    cfg.thresholds = (9.0, 99.0)  # caller mutates AFTER construction
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.random((1, 2, 16, 16, 1)).astype(np.float32))
+    suite.update(p, p)
+    out = suite.compute()
+    assert "cat_thr0.50/pod" in out and "cat_thr9.00/pod" not in out

@@ -50,12 +50,20 @@ def flatten_dict(data: Dict[str, Any], parent_key: str = "") -> Dict[str, Any]:
 
 
 def merge_overrides(cfg: Dict[str, Any], overrides: Dict[str, Any]) -> Dict[str, Any]:
-    """Apply dotted-key overrides (e.g. {"train.batch_size": 4}) in place."""
+    """Apply dotted-key overrides (e.g. {"train.batch_size": 4}) in place.
+
+    A dotted path that traverses an existing NON-dict node (e.g. a JSON
+    ``"train": null``) replaces that node with a dict, matching the
+    intent of the override instead of raising an opaque TypeError."""
     for dotted, value in overrides.items():
         node = cfg
         parts = dotted.split(".")
         for p in parts[:-1]:
-            node = node.setdefault(p, {})
+            nxt = node.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[p] = nxt
+            node = nxt
         node[parts[-1]] = value
     return cfg
 
@@ -83,8 +91,11 @@ def build_dataset_args(split_cfg: Dict[str, Any], defaults: Dict[str, Any] | Non
                 args[key] = value
 
     mask_cfg = deepcopy(defaults.get("mask", {}))
-    if split_cfg.get("mask"):
-        mask_cfg.update(split_cfg["mask"])
+    if "mask" in split_cfg:
+        if split_cfg["mask"] is None:  # explicit null DELETES the inherited
+            mask_cfg = {}              # mask (same as w/h/sample_length)
+        else:
+            mask_cfg.update(split_cfg["mask"])
     if mask_cfg:
         args["mask"] = mask_cfg
 

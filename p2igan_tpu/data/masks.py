@@ -71,7 +71,7 @@ def create_mask_np(
 
     if mask_type == "sti":
         mat = _sti_matrix_np(rng, H, W, int(rng.choice(list(block_sizes))))
-        return np.broadcast_to(mat[None, :, :, None], (T, H, W, C)).astype(np.float32).copy()
+        return np.broadcast_to(mat[None, :, :, None], (T, H, W, C)).astype(np.float32)
 
     if mask_type == "fi":
         mask = np.zeros((T, H, W, C), dtype=np.float32)
@@ -91,7 +91,7 @@ def create_mask_np(
         if keep >= T:
             return np.ones((T, H, W, C), dtype=np.float32)
         mat = _sti_matrix_np(rng, H, W, int(rng.choice(list(block_sizes))))
-        mask = np.broadcast_to(mat[None, :, :, None], (T, H, W, C)).astype(np.float32).copy()
+        mask = np.broadcast_to(mat[None, :, :, None], (T, H, W, C)).astype(np.float32)
         mask[:keep] = 1.0
         return mask
 
@@ -104,7 +104,7 @@ def create_mask_np(
                 f"Mask matrix in {mask_file} does not match video spatial dimensions {H}x{W}"
             )
         mask = np.broadcast_to(mat[None, :, :, None], (T, H, W, C))
-        return mask.astype(np.float32).copy()
+        return mask.astype(np.float32)
 
     raise ValueError(f"Invalid mask type: {mask_type!r}")
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.convs import max_pool2d, reflect_pad2d
+from .ops.convs import conv2d, max_pool2d, reflect_pad2d
 
 __all__ = [
     "ReconstructionLoss",
@@ -125,8 +125,6 @@ def _shock_kernels(dtype):
 
 
 def _conv_reflect(x4: jax.Array, kernel: jax.Array) -> jax.Array:
-    from .ops.convs import conv2d
-
     return conv2d(reflect_pad2d(x4, 1), kernel, padding=0)
 
 

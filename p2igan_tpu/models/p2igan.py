@@ -60,6 +60,52 @@ def _data_cfg(config: Dict[str, Any]) -> Dict[str, Any]:
     return config.get("data_loader") or config["data"]["train"]
 
 
+def _mask_points_budget(mask_cfg: Dict[str, Any], H: int, W: int,
+                        length: int) -> int:
+    """Worst-case observed-point count per sample for one mask config
+    (data/masks.py:59-104); every branch bounds its maximum draw.
+
+    The sti block grid is generated at the STORED frame size and only then
+    center-cropped (stores.py EventDataset), so a crop misaligned with the
+    block grid can intersect one extra block per dimension — the per-frame
+    bound is (ceil(H/bs)+1)*(ceil(W/bs)+1), not ceil*ceil."""
+    mask_type = mask_cfg.get("type", "sti")
+    bs = min(mask_cfg.get("block_sizes", [4]) or [4])
+    keep = min(int(mask_cfg.get("keep", 4)), length)
+    per_frame_sti = (-(-H // bs) + 1) * (-(-W // bs) + 1)
+    if mask_type == "sti":
+        return length * per_frame_sti
+    if mask_type == "stin":
+        # first `keep` frames fully observed + the sti pattern on the rest
+        return keep * H * W + (length - keep) * per_frame_sti
+    if mask_type == "fi":
+        # every (interval+1)-th frame fully observed; min interval = most
+        iv = min(mask_cfg.get("interval", [2, 5]) or [2])
+        return (-(-length // (iv + 1))) * H * W
+    if mask_type == "nowcasting":
+        return keep * H * W
+    if mask_type == "stis":
+        # the gauge mask is a fixed file: count its gauges exactly so the
+        # static nonzero budget can never truncate (the 256 fallback only
+        # applies when the file is unreadable at config time)
+        n_gauges = 256
+        mask_file = mask_cfg.get("file")
+        if mask_file:
+            try:
+                from ..data.masks import load_gauge_mask
+
+                n_gauges = int((load_gauge_mask(mask_file) > 0).sum())
+            except OSError:
+                import logging
+
+                logging.warning(
+                    "stis gauge file %s unreadable at config time; "
+                    "falling back to a %d-gauge IDW budget", mask_file,
+                    n_gauges)
+        return length * max(1, n_gauges)
+    return length * H * W  # unknown type: full budget, never truncate
+
+
 class EBlock(nn.Module):
     """num_res x ResBlock_do (reference p2igan.py:176-183)."""
 
@@ -96,47 +142,23 @@ class P2IGenerator(nn.Module):
         length = data_cfg.get("sample_length", 16) or 16
         model_cfg = config.get("model", {})
         mask_cfg = data_cfg.get("mask", {})
-        # size the static IDW point budget from the mask type
         mask_type = mask_cfg.get("type", "sti")
         H, W = data_cfg["h"], data_cfg["w"]
-        # Worst-case observed-point count per sample for each mask family
-        # (data/masks.py:59-104); undersizing silently drops points in the
-        # static nonzero gather, so every branch bounds its maximum draw.
-        bs = min(mask_cfg.get("block_sizes", [4]) or [4])
-        keep = min(int(mask_cfg.get("keep", 4)), length)
-        per_frame_sti = (-(-H // bs)) * (-(-W // bs))
-        if mask_type == "sti":
-            n_pts = length * per_frame_sti
-        elif mask_type == "stin":
-            # first `keep` frames fully observed + the sti pattern on the rest
-            n_pts = keep * H * W + (length - keep) * per_frame_sti
-        elif mask_type == "fi":
-            # every (interval+1)-th frame fully observed; min interval = most
-            iv = min(mask_cfg.get("interval", [2, 5]) or [2])
-            n_pts = (-(-length // (iv + 1))) * H * W
-        elif mask_type == "nowcasting":
-            n_pts = keep * H * W
-        elif mask_type == "stis":
-            # the gauge mask is a fixed file: count its gauges exactly so the
-            # static nonzero budget can never truncate (the 256 fallback only
-            # applies when the file is unreadable at config time)
-            n_gauges = 256
-            mask_file = mask_cfg.get("file")
-            if mask_file:
-                try:
-                    from ..data.masks import load_gauge_mask
-
-                    n_gauges = int((load_gauge_mask(mask_file) > 0).sum())
-                except OSError:
-                    import logging
-
-                    logging.warning(
-                        "stis gauge file %s unreadable at config time; "
-                        "falling back to a %d-gauge IDW budget", mask_file,
-                        n_gauges)
-            n_pts = length * max(1, n_gauges)
-        else:
-            n_pts = length * H * W  # unknown type: full budget, never truncate
+        # Size the static IDW point budget from EVERY split's mask config
+        # (valid/test may override the train mask with a denser family —
+        # build_dataset_args semantics); undersizing silently drops points
+        # in the static nonzero gather.
+        n_pts = _mask_points_budget(mask_cfg, H, W, length)
+        for split, split_cfg in (config.get("data") or {}).items():
+            if split == "train" or not isinstance(split_cfg, dict):
+                continue
+            m = dict(mask_cfg)
+            if "mask" in split_cfg:
+                m = {} if split_cfg["mask"] is None else {**m,
+                                                          **split_cfg["mask"]}
+            n_pts = max(n_pts, _mask_points_budget(
+                m, split_cfg.get("h", H) or H, split_cfg.get("w", W) or W,
+                split_cfg.get("sample_length", length) or length))
         max_points = kw.pop("idw_max_points", -(-n_pts // 128) * 128)
         # sti/stis masks share one spatial pattern across frames -> the
         # factorized exact k-NN applies (stin/fi/nowcasting do not qualify);

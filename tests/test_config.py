@@ -37,3 +37,20 @@ def test_merge_overrides_and_load(tmp_path):
     merge_overrides(cfg, {"train.batch_size": 2, "model.name": "simple"})
     assert cfg["train"]["batch_size"] == 2
     assert cfg["model"]["name"] == "simple"
+
+
+def test_split_mask_null_deletes_inherited_mask():
+    """An explicit 'mask': null in a split config deletes the inherited
+    train mask (same null-deletes semantics as w/h/sample_length)."""
+    args = build_dataset_args(
+        {"data_root": "x", "mask": None},
+        {"w": 32, "h": 32, "mask": {"type": "stis", "file": "f.txt"}})
+    assert "mask" not in args
+
+
+def test_merge_overrides_through_non_dict_node():
+    """A dotted override whose path crosses a non-dict node (e.g. JSON
+    'train': null) replaces the node instead of raising TypeError."""
+    cfg = {"train": None}
+    merge_overrides(cfg, {"train.batch_size": 2})
+    assert cfg["train"] == {"batch_size": 2}

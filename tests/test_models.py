@@ -242,3 +242,38 @@ def test_snconv_3d_default_stride_padding():
     vars_ = conv.init(jax.random.key(0), x)
     out = conv.apply(vars_, x)
     assert out.shape == (1, 4, 8, 8, 4)
+
+
+def test_from_config_budget_covers_split_overrides_and_crop(tmp_path):
+    """Two budget edge cases: (a) the sti block grid is generated at the
+    STORED frame size and center-cropped, so a grid-misaligned crop can
+    intersect one extra block per dimension; (b) valid/test splits may
+    override the train mask with a DENSER family — the budget must take the
+    max over every split, not just train."""
+    from p2igan_tpu.models import P2IGenerator
+
+    H = W = 128
+    T = 16
+    # (a) crop-misalignment headroom: worst case per frame for bs=4 is
+    # (128/4 + 1)^2 = 1089 blocks, above the aligned 1024
+    cfg = {"model": {"name": "p2igan", "base_channels": 4 * T},
+           "data": {"train": {"data_root": "x", "h": H, "w": W,
+                              "sample_length": T,
+                              "mask": {"type": "sti", "block_sizes": [4]}}}}
+    gen = P2IGenerator.from_config(cfg)
+    assert gen.idw_max_points >= T * 33 * 33
+
+    # (b) sparse train mask (stis file) + dense valid override (sti)
+    rng = np.random.default_rng(0)
+    mat = np.zeros((H, W), np.int64)
+    mat[np.unravel_index(rng.choice(H * W, 79, replace=False), (H, W))] = 1
+    f = tmp_path / "gauges.txt"
+    np.savetxt(f, mat, fmt="%d")
+    cfg = {"model": {"name": "p2igan", "base_channels": 4 * T},
+           "data": {"train": {"data_root": "x", "h": H, "w": W,
+                              "sample_length": T,
+                              "mask": {"type": "stis", "file": str(f)}},
+                    "valid": {"data_root": "x",
+                              "mask": {"type": "sti", "block_sizes": [4]}}}}
+    gen = P2IGenerator.from_config(cfg)
+    assert gen.idw_max_points >= T * 33 * 33  # not the 16*79 stis budget

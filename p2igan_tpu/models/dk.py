@@ -21,13 +21,31 @@ import numpy as np
 from ..ops.wendland import build_phi_space
 
 
-def _torch_linear_init(key, shape, dtype=jnp.float32):
-    """torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) -> U(+-1/sqrt(fan_in)).
+def resolve_sample_length(config, length=None) -> int:
+    """Shared dk/stdk config resolution (reference dk.py:148, stdk.py:111):
+    data_loader (legacy) or data.train sample_length, default 16."""
+    if length is not None:
+        return int(length)
+    data_cfg = config.get("data_loader") or config.get("data", {}).get("train", {})
+    return int(data_cfg.get("sample_length", 16) or 16)
 
-    shape: (in, out) — stored transposed relative to torch's (out, in).
+
+def _kaiming_linear_init(key, shape, dtype=jnp.float32):
+    """Reference init: BaseNetwork.init_weights (layer.py:20-40) overrides
+    every Linear with kaiming_normal_(a=0, mode='fan_in') — std
+    sqrt(2/fan_in) — which DK/STDK apply at construction (dk.py:158-159).
+
+    shape: (in, out) — stored transposed relative to torch's (out, in), so
+    fan_in is shape[0].
     """
-    bound = 1.0 / np.sqrt(shape[0])
-    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+    std = np.sqrt(2.0 / shape[0])
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def _zeros_bias_init(key, shape, dtype=jnp.float32):
+    """init_weights zeroes every Linear bias (layer.py:37-38)."""
+    del key
+    return jnp.zeros(shape, dtype)
 
 
 class DKMLP(nn.Module):
@@ -42,14 +60,14 @@ class DKMLP(nn.Module):
     out_dim: int = 1
 
     def setup(self):
-        self.fc1 = self.param("fc1", _torch_linear_init, (self.feature_dim, self.hidden_dim))
-        self.b1 = self.param("b1", _torch_linear_init, (1, self.hidden_dim))
-        self.fc2 = self.param("fc2", _torch_linear_init, (self.hidden_dim, self.hidden_dim))
-        self.b2 = self.param("b2", _torch_linear_init, (1, self.hidden_dim))
-        self.fc3 = self.param("fc3", _torch_linear_init, (self.hidden_dim, self.hidden_dim))
-        self.b3 = self.param("b3", _torch_linear_init, (1, self.hidden_dim))
-        self.fc4 = self.param("fc4", _torch_linear_init, (self.hidden_dim, self.out_dim))
-        self.b4 = self.param("b4", _torch_linear_init, (1, self.out_dim))
+        self.fc1 = self.param("fc1", _kaiming_linear_init, (self.feature_dim, self.hidden_dim))
+        self.b1 = self.param("b1", _zeros_bias_init, (1, self.hidden_dim))
+        self.fc2 = self.param("fc2", _kaiming_linear_init, (self.hidden_dim, self.hidden_dim))
+        self.b2 = self.param("b2", _zeros_bias_init, (1, self.hidden_dim))
+        self.fc3 = self.param("fc3", _kaiming_linear_init, (self.hidden_dim, self.hidden_dim))
+        self.b3 = self.param("b3", _zeros_bias_init, (1, self.hidden_dim))
+        self.fc4 = self.param("fc4", _kaiming_linear_init, (self.hidden_dim, self.out_dim))
+        self.b4 = self.param("b4", _zeros_bias_init, (1, self.out_dim))
 
     def tail(self, h1: jax.Array) -> jax.Array:
         """Layers 2..4 applied to a pre-activation first-layer output."""
@@ -87,16 +105,17 @@ class DKGenerator(nn.Module):
     @classmethod
     def from_config(cls, config: Dict[str, Any], length: int | None = None,
                     **kw) -> "DKGenerator":
-        if length is None:
-            data_cfg = config.get("data_loader") or config.get("data", {}).get("train", {})
-            length = data_cfg.get("sample_length", 16) or 16
-        return cls(length=length, **kw)
+        return cls(length=resolve_sample_length(config, length), **kw)
 
     @nn.compact
     def __call__(self, masked_frames: jax.Array, masks: jax.Array) -> jax.Array:
         b, t, h, w, c = masked_frames.shape
         if t != self.length:
             raise ValueError(f"expected T == {self.length}, got {t}")
+        if c != 1:
+            # the reference's view(b, t, HW) only admits C == 1; dropping
+            # extra channels silently would train on a wrong objective
+            raise ValueError(f"DK/STDK expect single-channel frames, got C={c}")
         HW = h * w
         K_s = sum(self.num_basis_space)
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.wendland import build_phi_space, build_phi_time, time_basis_count
-from .dk import DKMLP, select_visible
+from .dk import DKMLP, resolve_sample_length, select_visible
 
 
 class STDKGenerator(nn.Module):
@@ -37,16 +37,15 @@ class STDKGenerator(nn.Module):
     @classmethod
     def from_config(cls, config: Dict[str, Any], length: int | None = None,
                     **kw) -> "STDKGenerator":
-        if length is None:
-            data_cfg = config.get("data_loader") or config.get("data", {}).get("train", {})
-            length = data_cfg.get("sample_length", 16) or 16
-        return cls(length=length, **kw)
+        return cls(length=resolve_sample_length(config, length), **kw)
 
     @nn.compact
     def __call__(self, masked_frames: jax.Array, masks: jax.Array) -> jax.Array:
         b, t, h, w, c = masked_frames.shape
         if t != self.length:
             raise ValueError(f"expected T == {self.length}, got {t}")
+        if c != 1:
+            raise ValueError(f"DK/STDK expect single-channel frames, got C={c}")
         HW = h * w
         K_s = sum(self.num_basis_space)
         K_t = time_basis_count(self.length, tuple(self.num_basis_time))

@@ -24,9 +24,14 @@ import numpy as np
 
 
 def make_d_diag(in_channels: int, M: int, N: int, D_mul: int) -> np.ndarray:
-    """Constant identity offset for D (deconv_pytorch.py:65-71)."""
+    """Constant identity offset for D (deconv_pytorch.py:65-71).
+
+    Exact reference arithmetic: reps = D_mul // (M*N) (no clamping), so a
+    degenerate D_mul < M*N yields an all-zero (in, M*N, D_mul) offset —
+    matching torch's repeat(0) + zero-pad — and the result width is always
+    D_mul."""
     eye = np.eye(M * N, dtype=np.float32).reshape(1, M * N, M * N)
-    reps = max(D_mul // (M * N), 1)
+    reps = D_mul // (M * N)
     d_diag = np.tile(eye, (in_channels, 1, reps))
     if D_mul % (M * N) != 0:
         zeros = np.zeros((in_channels, M * N, D_mul % (M * N)), np.float32)

@@ -81,15 +81,24 @@ class SNConv(nn.Module):
             if self.use_bias else None
 
         k_flat = int(np.prod(ks)) * self.in_channels
+        # torch parity: u and v start as INDEPENDENT normalized gaussians
+        # (torch.nn.utils.spectral_norm SpectralNorm.apply) — mutually
+        # inconsistent until the first training-mode power iteration, like
+        # the reference. Keys derive from the Flax init RNG so every layer
+        # and every model seed gets its own vectors (previously hard-coded
+        # key(0)/key(1) made all same-width layers share one u).
+        if self.is_initializing():
+            u_key, v_key = jax.random.split(self.make_rng("params"))
+        else:  # never used: the variables already exist
+            u_key = v_key = jax.random.key(0)
         u_var = self.variable(
             "spectral", "u",
             lambda: _l2norm(jax.random.normal(
-                jax.random.key(0), (self.out_channels,), jnp.float32)),
+                u_key, (self.out_channels,), jnp.float32)),
         )
         v_var = self.variable(
             "spectral", "v",
-            lambda: _l2norm(jax.random.normal(
-                jax.random.key(1), (k_flat,), jnp.float32)),
+            lambda: _l2norm(jax.random.normal(v_key, (k_flat,), jnp.float32)),
         )
 
         # torch weight matrix: OIHW -> (out, in*prod(k)); ours: HWIO/DHWIO.

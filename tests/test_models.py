@@ -277,3 +277,52 @@ def test_from_config_budget_covers_split_overrides_and_crop(tmp_path):
                               "mask": {"type": "sti", "block_sizes": [4]}}}}
     gen = P2IGenerator.from_config(cfg)
     assert gen.idw_max_points >= T * 33 * 33  # not the 16*79 stis budget
+
+
+def test_dk_init_matches_reference_init_weights():
+    """Reference DK/STDK call BaseNetwork.init_weights at construction:
+    Linear weights kaiming_normal_(a=0, fan_in) (std sqrt(2/fan_in)), biases
+    zero. Regression for the U(-1,1) bias / torch-default-weight init."""
+    import jax
+
+    from p2igan_tpu.models import DKGenerator
+
+    gen = DKGenerator(length=4)
+    v = gen.init(jax.random.key(0),
+                 jnp.zeros((1, 4, 16, 16, 1)), jnp.ones((1, 4, 16, 16, 1)))
+    mlp = v["params"]["mlp"]
+    for b in ("b1", "b2", "b3", "b4"):
+        assert float(jnp.abs(mlp[b]).max()) == 0.0
+    fc2 = np.asarray(mlp["fc2"])  # fan_in = 100 -> std sqrt(2/100) ~ 0.1414
+    assert abs(fc2.std() - np.sqrt(2.0 / 100)) < 0.02
+
+
+def test_snconv_spectral_state_uses_init_rng():
+    """SNConv u/v derive from the Flax init RNG: same-width layers get
+    DIFFERENT vectors and different seeds give different states (previously
+    hard-coded key(0)/key(1) shared one u across every layer and seed)."""
+    import jax
+
+    from p2igan_tpu.models import P2IDiscriminator
+
+    disc = P2IDiscriminator(in_channels=4)
+    x = jnp.zeros((1, 4, 16, 16, 1))
+    s0 = dict(disc.init(jax.random.key(0), x))["spectral"]
+    s1 = dict(disc.init(jax.random.key(1), x))["spectral"]
+    # same width (256), different layers -> different u
+    assert not np.allclose(np.asarray(s0["d2d_4"]["u"]),
+                           np.asarray(s0["d2d_6"]["u"]))
+    # different seeds -> different u
+    assert not np.allclose(np.asarray(s0["d2d_4"]["u"]),
+                           np.asarray(s1["d2d_4"]["u"]))
+
+
+def test_dk_rejects_multichannel_input():
+    import jax
+
+    from p2igan_tpu.models import DKGenerator
+
+    gen = DKGenerator(length=2)
+    x = jnp.zeros((1, 2, 8, 8, 3))
+    with pytest.raises(ValueError, match="single-channel"):
+        gen.init(jax.random.key(0), x, x)

@@ -224,6 +224,7 @@ class P2IGenerator(nn.Module):
                        max_points=self.idw_max_points,
                        factored=self.idw_factored,
                        shared_batch_mask=self.idw_shared_batch_mask,
+                       frames=self.length,  # budget consistent w/ prepare_idw
                        name="input")(x_in, m_in, prepared=idw_prepared)
         x = x.astype(self.compute_dtype)
 

@@ -21,6 +21,9 @@ IntOrPair = Union[int, Tuple[int, int]]
 
 def _pair(v: IntOrPair, n: int = 2) -> Tuple[int, ...]:
     if isinstance(v, (tuple, list)):
+        if len(v) != n:
+            raise ValueError(
+                f"expected a length-{n} stride/padding, got {tuple(v)}")
         return tuple(v)
     return (v,) * n
 
@@ -241,10 +244,12 @@ def bilinear_upsample2x_align_corners(x: jax.Array) -> jax.Array:
     B, H, W, C = x.shape
     mh = jnp.asarray(_align_corners_matrix(H, 2 * H))
     mw = jnp.asarray(_align_corners_matrix(W, 2 * W))
-    # (B,H,W,C) -> rows: (2H, H) @ (B,H,W*C)
+    # (B,H,W,C) -> rows: (2H, H) @ (B,H,W*C); interpolation runs in f32
+    # and restores the caller's dtype (the f32 matrices would otherwise
+    # silently promote a bf16 compute_dtype pipeline)
     y = jnp.einsum("oh,bhwc->bowc", mh, x)
     y = jnp.einsum("ow,bhwc->bhoc", mw, y)
-    return y
+    return y.astype(x.dtype)
 
 
 @functools.lru_cache(maxsize=64)
@@ -269,7 +274,7 @@ def bilinear_resize_align_false(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Ar
     mw = jnp.asarray(_align_false_matrix(W, out_hw[1]))
     y = jnp.einsum("oh,bhwc->bowc", mh, x)
     y = jnp.einsum("ow,bhwc->bhoc", mw, y)
-    return y
+    return y.astype(x.dtype)  # see bilinear_upsample2x_align_corners
 
 
 def reflect_pad2d(x: jax.Array, pad: int = 1) -> jax.Array:

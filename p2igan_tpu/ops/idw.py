@@ -44,6 +44,15 @@ def round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def default_use_pallas(use_pallas):
+    """Shared ``use_pallas=None`` resolution: Pallas kernels run on the TPU
+    backend, the XLA fallback everywhere else. One helper so every gated op
+    (idw/layers/decode) follows the same policy."""
+    if use_pallas is None:
+        return jax.default_backend() == "tpu"
+    return use_pallas
+
+
 def idw_3d_knn(
     points_xyz: jax.Array,  # (P, 3) normalized coords; padded slots arbitrary
     values: jax.Array,      # (P,)
@@ -149,8 +158,7 @@ def factored_prepare_full(
     qy = jnp.repeat(jnp.asarray(np.linspace(0, 1, H, dtype=np.float32)), W)
     qx = jnp.tile(jnp.asarray(np.linspace(0, 1, W, dtype=np.float32)), H)
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = default_use_pallas(use_pallas)
 
     if use_pallas:
         from .pallas.idw_factored_kernel import gauge_topk_pallas
@@ -240,8 +248,7 @@ def factored_apply_gauges(
     H, W = out_hw
     D = gauge_vals.shape[0]
     HW = H * W
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = default_use_pallas(use_pallas)
 
     # all frames stay candidates IN THE XLA PATH (the Pallas kernel prunes
     # frames per query z with an exact, tie-aware static selection); only
@@ -283,8 +290,7 @@ def factored_apply_gauges_batch(
     the dominant cost of the combine, PROFILE.md). Returns (N, D, H, W)."""
     H, W = out_hw
     N, D, _ = gauge_vals.shape
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = default_use_pallas(use_pallas)
     if use_pallas:
         from .pallas.idw_factored_kernel import combine_table_multi_with_vjp
 
@@ -323,8 +329,7 @@ def factored_apply(
     gauge-table fast path)."""
     D, H, W = values_dhw.shape
     HW = H * W
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = default_use_pallas(use_pallas)
 
     dz2 = jnp.asarray(frame_dz2_np(D))
 

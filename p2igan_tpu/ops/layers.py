@@ -23,6 +23,7 @@ from .convs import (
     max_pool2d,
 )
 from .doconv import DOConv2d
+from .idw import default_use_pallas
 
 
 def kaiming_normal_fan_in(key, shape, dtype=jnp.float32):
@@ -83,6 +84,11 @@ class BasicConv(nn.Module):
         if self.transpose:
             from .convs import conv_transpose2d
 
+            if self.groups != 1:
+                # conv_transpose2d has no grouped support; a dense transposed
+                # conv would silently compute different math than requested
+                raise NotImplementedError(
+                    "BasicConv(transpose=True) does not support groups != 1")
             pad = k // 2 - 1
             kernel = self.param("kernel", kaiming_normal_fan_in,
                                 (k, k, self.out_channels, self.in_channels))
@@ -190,8 +196,7 @@ def downsample_duplicate_channels(x: jax.Array, length: int,
     B, H, W, C = x.shape
     if C % length != 0:
         raise ValueError(f"channels {C} must be divisible by {length}")
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = default_use_pallas(use_pallas)
     if use_pallas and H % 2 == 0 and W % 2 == 0 and x.dtype == jnp.float32:
         from .pallas.pool_dup import maxpool2_duplicate
 
@@ -273,6 +278,10 @@ class InputBlock(nn.Module):
     use_pallas: Optional[bool] = None  # None = auto (TPU backend)
     factored: bool = False  # exact fast path for frame-constant masks (sti/stis)
     shared_batch_mask: bool = False  # all batch samples share one spatial mask
+    frames: Optional[int] = None  # T for the gauge budget; None = channel depth
+    # (max_points counts length*spatial points — from_config ignores C — so a
+    # C>1 pipeline must pass frames=T or the budget under-sizes by C and the
+    # static nonzero gather truncates; P2IGenerator passes its length)
 
     @staticmethod
     def gauge_budget(max_points: int, depth: int) -> int:
@@ -307,7 +316,8 @@ class InputBlock(nn.Module):
                               factored_apply_gauges_batch,
                               factored_prepare_full)
 
-            max_gauges = self.gauge_budget(self.max_points, D)
+            max_gauges = self.gauge_budget(self.max_points,
+                                           self.frames or D)
             x_pix = x.reshape(B, H * W, D)
 
             if self.shared_batch_mask:
@@ -361,8 +371,7 @@ class InputBlock(nn.Module):
         mask_dhw = jnp.transpose(mask, (0, 3, 1, 2))
 
         use_pallas = self.use_pallas
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+        use_pallas = default_use_pallas(use_pallas)
 
         def one(m, v):
             pts, vals, valid = extract_points(m, v, self.max_points)

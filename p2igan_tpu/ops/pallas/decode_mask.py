@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..idw import default_use_pallas
+
 
 def _widen(x):
     """uint8/bool/int or f32 -> f32 inside the kernel.
@@ -64,8 +66,7 @@ def decode_normalize_mask(frames_u8: jax.Array, mask: jax.Array,
     W)`` lane layout, and the grid walks row blocks so VMEM residency is
     bounded regardless of batch size.
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = default_use_pallas(use_pallas)
     if not use_pallas:  # XLA fallback (CPU tests / non-TPU backends)
         video = frames_u8.astype(jnp.float32) / 255.0
         return video, video * jnp.broadcast_to(mask, frames_u8.shape

@@ -81,15 +81,18 @@ def model_sharded_params(params: Any, mesh: Mesh, axis: str = "model") -> Any:
 
     def _sharding(x: jax.Array) -> NamedSharding:
         if x.ndim >= 2:
-            # HWIO/DHWIO kernels carry O on the trailing dim; DOConv's
-            # factored W is (O, I/g, D_mul) with O leading — prefer the
-            # trailing dim, fall back to the leading one
-            if x.shape[-1] % n == 0 and x.shape[-1] >= n:
-                return NamedSharding(
-                    mesh, P(*([None] * (x.ndim - 1) + [axis])))
-            if x.shape[0] % n == 0 and x.shape[0] >= n:
-                return NamedSharding(
-                    mesh, P(*([axis] + [None] * (x.ndim - 1))))
+            # O's position is determined by LAYOUT, not divisibility:
+            # HWIO/DHWIO kernels (ndim >= 4) carry O trailing; DOConv's
+            # factored 3-D leaves — W (O, I/g, M*N) and D (Cin, M*N, D_mul)
+            # — carry their shardable channel dim LEADING (a divisibility
+            # preference would shard the contracted M*N/D_mul dims whenever
+            # the mesh size divides 9, inserting reshard collectives inside
+            # every DOConv compose); 2-D dense kernels carry O trailing.
+            dim = 0 if x.ndim == 3 else x.ndim - 1
+            if x.shape[dim] % n == 0 and x.shape[dim] >= n:
+                spec = [None] * x.ndim
+                spec[dim] = axis
+                return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(

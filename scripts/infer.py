@@ -44,7 +44,6 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--log-level", type=str, default="INFO")
     # accepted for reference-CLI compatibility; device selection is via JAX
     parser.add_argument("--device", type=str, default=None)
-    parser.add_argument("--experiment-name", type=str, default=None)
     return parser.parse_args()
 
 

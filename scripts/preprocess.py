@@ -40,9 +40,24 @@ def parse_args() -> argparse.Namespace:
 
 def main() -> None:
     args = parse_args()
-    extract_ts = lambda f: int(re.search(r"\d+", f).group())  # noqa: E731
+
+    def extract_ts(f: str) -> int:
+        # search the STEM: a digit-free name must error, not pick up the
+        # '5' of the '.h5' extension
+        m = re.search(r"\d+", os.path.splitext(f)[0])
+        if m is None:
+            raise ValueError(f"cannot extract a timestamp from {f!r}: "
+                             "event h5 filenames must contain digits")
+        return int(m.group())
+
+    # Event ids are assigned in LEXICOGRAPHIC group-key order — the order
+    # ZarrWindowDataset (and the reference reader, sti_dataset.py:264-265)
+    # resolves event_id with sorted(events.keys()); a numeric sort here
+    # would mis-pair windows whenever timestamps have different digit
+    # widths ('10' < '9' lexicographically).
     h5_files = sorted(
-        [f for f in os.listdir(args.h5_dir) if f.endswith(".h5")], key=extract_ts)
+        [f for f in os.listdir(args.h5_dir) if f.endswith(".h5")],
+        key=lambda f: str(extract_ts(f)))
 
     root = zarrlite.open_group(args.output, mode="w")
     events_grp = root.create_group("events")
@@ -62,6 +77,9 @@ def main() -> None:
         if frames.ndim == 4 and frames.shape[-1] == 1:
             frames = frames[..., 0]
         T, H, W = frames.shape
+        if frames.dtype != np.uint8:
+            # clip, don't wrap: astype(uint8) would alias 300 -> 44
+            frames = np.clip(frames, 0, 255)
         evt = events_grp.create_group(str(ts))
         sc = min(args.spatial_chunk, H, W)
         arr = evt.create_dataset(
@@ -77,6 +95,10 @@ def main() -> None:
             window_index.append([event_id, start, args.window])
         print(f"packed {fname}: {T} frames -> {len(starts)} windows")
 
+    if not window_index:
+        raise SystemExit(
+            f"no training windows generated: every event in {args.h5_dir} "
+            f"is shorter than --window {args.window}")
     idx = index_grp.create_dataset(
         "windows", shape=(len(window_index), 3), chunks=(1024, 3), dtype="int32",
         compressor={"id": "zstd", "level": 3},

@@ -46,10 +46,23 @@ def main() -> None:
     if args.event_table is not None:
         table = {int(e["id"]): e for e in json.loads(args.event_table.read_text())}
 
+    def extract_eid(f: str) -> int:
+        # search the STEM, not the '.h5' suffix; digit-free names error
+        m = re.search(r"\d+", os.path.splitext(f)[0])
+        if m is None:
+            raise ValueError(f"cannot extract an event id from {f!r}")
+        return int(m.group())
+
     files = sorted(
         [f for f in os.listdir(args.h5_dir) if f.endswith(".h5")],
-        key=lambda f: int(re.search(r"\d+", f).group()),
+        key=extract_eid,
     )
+    eids = [extract_eid(f) for f in files]
+    if len(set(eids)) != len(eids):
+        dupes = sorted({e for e in eids if eids.count(e) > 1})
+        raise SystemExit(
+            f"duplicate event ids {dupes} extracted from {args.h5_dir}: "
+            "each event_NN dataset would silently overwrite its twin")
     root = zarrlite.open_group(args.output, mode="w")
     root.attrs.update({
         "dataset_name": args.dataset_name,
@@ -62,7 +75,7 @@ def main() -> None:
     })
 
     for fname in files:
-        eid = int(re.search(r"\d+", fname).group())
+        eid = extract_eid(fname)
         with h5py.File(args.h5_dir / fname, "r") as f:
             data = f["frames"][:]
         if data.ndim == 4 and data.shape[1] == 1:

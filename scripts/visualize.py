@@ -38,7 +38,13 @@ def main() -> None:
     import matplotlib.pyplot as plt
 
     z = zarrlite.open(args.zarr, mode="r")
-    event_key = args.event or sorted(z.array_keys())[0]
+    keys = sorted(z.array_keys()) if hasattr(z, "array_keys") else []
+    if args.event is None and not keys:
+        raise SystemExit(
+            f"{args.zarr} has no root-level event arrays (train stores nest "
+            "frames under events/<ts>); point --zarr at an inference-output "
+            "or test store, or pass --event <group/path>")
+    event_key = args.event or keys[0]
     data = z[event_key][:args.num_frames]
 
     frames = []

@@ -47,10 +47,14 @@ class Trainer:
         self.train_loader = self.data_module.train_dataloader()
         self.val_loader = self.data_module.val_dataloader()
         self.test_loader = self.data_module.test_dataloader()
-        if self.train_loader is not None and n_dev > 1:
+        self.n_data_shards = int(self.mesh.shape.get("data", 1))
+        if self.train_loader is not None and self.n_data_shards > 1:
             self.train_loader.drop_last = True
         train_cfg = cfg.get("train", {})
         self.run_validation = bool(train_cfg.get("use_validation", True))
+        # reference parity: train.py:111 parses use_test / --run-test but
+        # never consumes them — the test split is evaluated offline via
+        # scripts/infer.py + experiments.main, not inside the trainer
         self.run_test = bool(train_cfg.get("use_test", True))
         logging.info(
             "Data loaders ready | train=%s, val=%s, test=%s",
@@ -78,7 +82,11 @@ class Trainer:
 
         self.log_every = int(train_cfg.get("log_step", 100))
         self.global_step = 0
-        self.max_steps = train_cfg.get("iterations")
+        self.start_epoch = 0
+        # `iterations: 0` means unset, like the falsy check deriving
+        # max_epochs below (a literal 0 cap previously stopped after ONE
+        # step because only the `is None` branch guarded it)
+        self.max_steps = train_cfg.get("iterations") or None
         self.max_epochs = train_cfg.get("max_epochs")
         if self.max_epochs is None:
             loader_len = self.train_steps_per_epoch
@@ -116,6 +124,8 @@ class Trainer:
         self.profile_start = int(train_cfg.get("profile_start_step", 2))
         self.profile_steps = int(train_cfg.get("profile_steps", 3))
         self._profiling = False
+        self._profile_done = False  # >= trigger must fire once, incl. after
+        self._profile_stop_at = 0   # a resume that lands past start_step
         self._decode_fn = None
 
     # ------------------------------------------------------------------
@@ -180,10 +190,13 @@ class Trainer:
 
     def _put_batch(self, batch):
         sh = batch_sharding(self.mesh)
-        n_dev = int(np.prod(self.mesh.devices.shape))
-        if batch[0].shape[0] % n_dev != 0:
+        # divisibility by the DATA axis, not the total device count: on a
+        # dp x tp mesh a batch divisible by dp still shards over data
+        if batch[0].shape[0] % self.n_data_shards != 0:
             sh = replicated_sharding(self.mesh)
-        put = lambda x: jax.device_put(jnp.asarray(x), sh)  # noqa: E731
+        # np.asarray (not jnp): jnp would first commit the batch to device 0
+        # and device_put would then RE-transfer it into the sharded layout
+        put = lambda x: jax.device_put(np.asarray(x), sh)  # noqa: E731
         if len(batch) == 2:
             # raw device-decode pipeline: (uint8 video, uint8 mask) transfers
             # 4x fewer bytes; the fused decode+normalize+mask runs on device
@@ -269,7 +282,19 @@ class Trainer:
         with self.tracker.start_run(run_name=self.cfg.get("run_name")):
             self.tracker.log_params(flatten_dict(self.cfg))
             val_loss = float("inf")
-            for epoch in range(1, self.max_epochs + 1):
+            if self.train_loader is not None:
+                # resume continues the shuffle/mask RNG stream instead of
+                # replaying the original run's first epochs
+                self.train_loader.epoch = self.start_epoch
+            if (self.start_epoch >= self.max_epochs
+                    or self.global_step >= self.max_steps):
+                logging.info(
+                    "Nothing to train: resumed at epoch %d / step %d with "
+                    "max_epochs=%d max_steps=%d", self.start_epoch,
+                    self.global_step, self.max_epochs, self.max_steps)
+            for epoch in range(self.start_epoch + 1, self.max_epochs + 1):
+                if self.global_step >= self.max_steps:
+                    break  # budget already exhausted: no zero-step epochs
                 logging.info("Epoch %d/%d starting...", epoch, self.max_epochs)
                 train_loss = self._train_one_epoch(epoch)
                 self.tracker.log_metric("train/loss", train_loss, step=self.global_step)
@@ -314,18 +339,23 @@ class Trainer:
         progress_interval = max(1, self.train_steps_per_epoch // 20)
         t0 = time.time()
         for frames, masked, masks in self._device_prefetch(self.train_loader):
+            if self.global_step >= self.max_steps:
+                break  # BEFORE the step: a resume landing exactly at the
+                # budget must not train (and checkpoint) one extra step
             if self.profile_dir and not self._profiling \
-                    and self.global_step == self.profile_start:
+                    and not self._profile_done \
+                    and self.global_step >= self.profile_start:
                 jax.profiler.start_trace(str(self.profile_dir))
                 self._profiling = True
+                self._profile_stop_at = self.global_step + self.profile_steps
             self.state, metrics = self.train_step(self.state, frames, masked, masks)
             steps += 1
             self.global_step += 1
-            if self._profiling and \
-                    self.global_step >= self.profile_start + self.profile_steps:
+            if self._profiling and self.global_step >= self._profile_stop_at:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
                 self._profiling = False
+                self._profile_done = True
                 logging.info("Profiler trace written to %s", self.profile_dir)
 
             if steps == 1:
@@ -363,6 +393,7 @@ class Trainer:
             jax.block_until_ready(self.state)
             jax.profiler.stop_trace()
             self._profiling = False
+            self._profile_done = True
             logging.info("Profiler trace written to %s (flushed at loop exit)",
                          self.profile_dir)
 
@@ -439,6 +470,12 @@ class Trainer:
 
     def load(self, path: str | Path) -> None:
         """Resume training state (params + optimizer + counters)."""
+        if str(path).endswith((".pt", ".pth")):
+            raise ValueError(
+                f"{path} is a torch checkpoint: training resume needs this "
+                "framework's msgpack format (it carries optimizer state); "
+                "torch weights can seed INFERENCE via models/torch_import "
+                "(inference.driver.variables_from_checkpoint)")
         raw = load_checkpoint_raw(path)
         state = jax.device_get(self.state)
         import flax.serialization as ser
@@ -459,6 +496,7 @@ class Trainer:
                 opt_d=restore(state.opt_d, raw["optimizer_d"]),
             )
         self.global_step = int(raw.get("global_step", 0))
+        self.start_epoch = int(raw.get("epoch", 0))
         # Restore the best-validation watermark (older checkpoints lack it)
         # so a resumed run can't clobber best.ckpt with a worse epoch, and
         # keep TrainState.step consistent with the global counter.
@@ -466,3 +504,7 @@ class Trainer:
             self.best_val = float(raw["best_val"])
         new = new.replace(step=jnp.asarray(self.global_step, jnp.int32))
         self.state = jax.device_put(new, replicated_sharding(self.mesh))
+        logging.info("Resumed from %s | global_step=%d epoch=%d best_val=%s",
+                     path, self.global_step, self.start_epoch,
+                     f"{self.best_val:.4f}" if self.best_val != float("inf")
+                     else "inf")

@@ -62,6 +62,8 @@ class FileTracker:
             json.dumps({"run_name": run_name, "run_id": run_id,
                         "start_time": time.time()})
         )
+        if self._metrics_f is not None:
+            self.end_run()  # mlflow errors on nested runs; we roll over
         self._metrics_f = (self.run_dir / "metrics.jsonl").open("a")
         tracker = self
 
@@ -104,8 +106,14 @@ class FileTracker:
     def log_metric(self, key: str, value: float, step: Optional[int] = None) -> None:
         if self._metrics_f is None:
             return
+        value = float(value)
+        if value != value or value in (float("inf"), float("-inf")):
+            # strict-JSON lines: a bare NaN/Infinity token would make the
+            # whole metrics file unparseable to non-Python tooling exactly
+            # when a diverging run needs debugging
+            value = repr(value)
         self._metrics_f.write(
-            json.dumps({"key": key, "value": float(value), "step": step, "t": time.time()}) + "\n"
+            json.dumps({"key": key, "value": value, "step": step, "t": time.time()}) + "\n"
         )
         self._metrics_f.flush()
 

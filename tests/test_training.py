@@ -288,3 +288,36 @@ def test_device_prefetch_releases_worker_on_early_break():
             break
         time.sleep(0.05)
     assert not extra, f"prefetch worker still alive: {extra}"
+
+
+@pytest.mark.slow
+def test_resume_continues_epoch_stream(data_root, monkeypatch, tmp_path):
+    """Resume restores the epoch counter and the loader's shuffle/mask RNG
+    stream (epoch-derived), and a run resumed exactly at max_steps trains
+    ZERO further steps instead of one past the budget."""
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    cfg = _cfg(data_root, model="simple", use_gan=0)
+    cfg["save_dir"] = str(tmp_path / "weights")
+    cfg["train"]["iterations"] = 2
+    cfg["train"]["use_validation"] = False
+    tr = Trainer(cfg)
+    tr.train()
+    assert tr.global_step == 2
+
+    tr2 = Trainer(cfg)
+    tr2.load(str(tmp_path / "weights" / "latest.ckpt"))
+    assert tr2.start_epoch >= 1
+    p_before = np.asarray(tr2.state.gen_params["enc0"]["kernel"])
+    tr2.train()  # already at max_steps: must be a no-op for params
+    assert tr2.global_step == 2
+    np.testing.assert_array_equal(
+        p_before, np.asarray(tr2.state.gen_params["enc0"]["kernel"]))
+
+
+def test_resume_rejects_torch_checkpoint(data_root, monkeypatch, tmp_path):
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    cfg = _cfg(data_root, model="simple", use_gan=0)
+    cfg["save_dir"] = str(tmp_path / "weights")
+    tr = Trainer(cfg)
+    with pytest.raises(ValueError, match="torch checkpoint"):
+        tr.load(tmp_path / "weights.pt")

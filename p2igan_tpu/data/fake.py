@@ -73,7 +73,8 @@ def write_test_zarr(out_path: str | Path, n_events: int = 2, T: int = 16,
         frames = synthesize_event(rng, T, H, W).astype(np.float32)
         arr = g.create_dataset(f"event_{i + 1:02d}", shape=frames.shape,
                                chunks=frames.shape, dtype="float32", data=frames)
-        arr.attrs.update({"start": f"2021-01-0{i + 1} 00:00", "duration_frames": T})
+        arr.attrs.update({"start": f"2021-01-{min(i + 1, 28):02d} 00:00",
+                          "duration_frames": T})
     return out_path
 
 
@@ -96,6 +97,10 @@ def write_train_zarr(out_path: str | Path, n_events: int = 3, T: int = 40,
                           data=frames)
         for s in range(0, T - window + 1, stride):
             windows.append([i, s, window])
+    if not windows:
+        raise ValueError(
+            f"write_train_zarr: window {window} > event length {T} yields "
+            "ZERO training windows; pass a longer T or shorter window")
     idx = g.create_group("index")
     idx.create_dataset("windows", shape=(len(windows), 3), dtype="int64",
                        data=np.asarray(windows, np.int64))
@@ -124,9 +129,10 @@ def make_fake_benchmark_tree(root: str | Path, H: int = 128, W: int = 128,
                                        H=H, W=W, seed=seed),
         "test_zarr": write_test_zarr(root / "nimrod_test.zarr", n_events=2,
                                      T=T, H=H, W=W, seed=seed + 1),
-        # window length matches the shipped configs' sample_length
+        # window length matches the shipped configs' sample_length; events
+        # are at least 2 windows long so the index is never empty
         "train_zarr": write_train_zarr(root / "nimrod_train.zarr", seed=seed + 2,
-                                       H=H, W=W, window=T),
+                                       H=H, W=W, window=T, T=max(40, 2 * T)),
         "gauge_mask": write_gauge_mask(root / "masks" / "gauge_mask_128_train.txt",
                                        H=H, W=W, seed=seed + 3),
         "gauge_mask_test": write_gauge_mask(root / "masks" / "gauge_mask_128_test.txt",

@@ -37,6 +37,19 @@ from ..ops.idw import round_up as _round_up
 from ..training.checkpoint import load_checkpoint_raw, resolve_checkpoint
 
 
+
+def _overlap_average(accum: jax.Array, count: jax.Array, E: int, T: int,
+                     scale: float) -> jax.Array:
+    """Shared scan/sharded epilogue: drop the per-event sentinel slot T,
+    overlap-average with the 1e-5 floor, then the reference's x scale +
+    clip >= 0 (infer.py:244-245). ONE definition so the sentinel and floor
+    rules cannot desynchronize between program variants."""
+    H, W, C = accum.shape[1:]
+    comp = accum.reshape(E, T + 1, H, W, C)[:, :T]
+    cnt = count.reshape(E, T + 1)[:, :T]
+    comp = comp / jnp.maximum(cnt[..., None, None, None], 1e-5)
+    return jnp.clip(comp * scale, 0.0, None)
+
 class SlidingWindowReconstructor:
     """Batched device-resident sliding-window reconstruction for one event."""
 
@@ -52,6 +65,32 @@ class SlidingWindowReconstructor:
         self.output_scale = float(output_scale)
         self.t_bucket = t_bucket
         self._compiled: Dict[int, Callable] = {}
+
+    def _check_gauge_budget(self, masks) -> None:
+        """Host-side guard for the factored path's static gauge budget.
+
+        prepare_idw's own concrete-mask check never fires inside the jitted
+        programs (masks are tracers there and jnp.nonzero(size=...) silently
+        truncates); the public entry points see CONCRETE masks, so count the
+        observed gauges here and fail loudly instead of reconstructing from
+        a truncated gauge set."""
+        if not self._supports_prepared_idw():
+            return
+        from ..ops.layers import InputBlock
+
+        gen = self.generator
+        budget = InputBlock.gauge_budget(gen.idw_max_points, gen.length)
+        mask_xy = np.asarray(masks)[..., 0]
+        while mask_xy.ndim > 2:  # (E,)T leading dims -> one spatial pattern
+            mask_xy = mask_xy[0]
+        n_obs = int((mask_xy > 0).sum())
+        if n_obs > budget:
+            raise ValueError(
+                f"mask has {n_obs} observed gauges but the factored IDW "
+                f"budget allows {budget} (idw_max_points="
+                f"{gen.idw_max_points}, length={gen.length}); the jitted "
+                f"program would silently truncate — raise idw_max_points "
+                f"(P2IGenerator.from_config sizes it from the config masks)")
 
     def _supports_prepared_idw(self) -> bool:
         """True when the generator's IDW gauge selection is a constant of the
@@ -158,10 +197,7 @@ class SlidingWindowReconstructor:
             count0 = jnp.zeros((E * (T + 1),), jnp.float32)
             (accum, count), _ = jax.lax.scan(
                 chunk, (accum0, count0), (jnp.asarray(win_idx), jnp.asarray(tgt)))
-            comp = accum.reshape(E, T + 1, H, W, C)[:, :T]
-            cnt = count.reshape(E, T + 1)[:, :T]
-            comp = comp / jnp.maximum(cnt[..., None, None, None], 1e-5)
-            return jnp.clip(comp * scale, 0.0, None)
+            return _overlap_average(accum, count, E, T, scale)
 
         return reconstruct
 
@@ -233,10 +269,7 @@ class SlidingWindowReconstructor:
             accum = accum.at[flat_seg].add(preds.reshape(-1, H, W, C))
             count = jnp.zeros((E * (T + 1),), jnp.float32).at[flat_seg].add(
                 jnp.where(flat_seg % (T + 1) < T, 1.0, 0.0))
-            comp = accum.reshape(E, T + 1, H, W, C)[:, :T]
-            cnt = count.reshape(E, T + 1)[:, :T]
-            comp = comp / jnp.maximum(cnt[..., None, None, None], 1e-5)
-            return jnp.clip(comp * scale, 0.0, None)
+            return _overlap_average(accum, count, E, T, scale)
 
         return reconstruct
 
@@ -254,6 +287,7 @@ class SlidingWindowReconstructor:
         if self._supports_prepared_idw() and not self._masks_shared(masks):
             return np.stack([self.sharded(masked[e], masks[e], mesh)
                              for e in range(E)])
+        self._check_gauge_budget(masks)
         Tb = _round_up(max(T, self.stride), self.t_bucket)
         masked = pad_repeat_last(masked, Tb, axis=1)
         masks = pad_repeat_last(masks, Tb, axis=1)
@@ -268,6 +302,7 @@ class SlidingWindowReconstructor:
     def sharded(self, masked: np.ndarray, masks: np.ndarray, mesh) -> np.ndarray:
         """Window-parallel event reconstruction over a device mesh."""
         T = masked.shape[0]
+        self._check_gauge_budget(masks)
         Tb = _round_up(max(T, self.stride), self.t_bucket)
         masked = pad_repeat_last(masked, Tb)
         masks = pad_repeat_last(masks, Tb)
@@ -290,6 +325,7 @@ class SlidingWindowReconstructor:
         program.
         """
         E, T = masked.shape[:2]
+        self._check_gauge_budget(masks)
         Tb = _round_up(max(T, self.stride), self.t_bucket)
         masked = pad_repeat_last(masked, Tb, axis=1)
         masks = pad_repeat_last(masks, Tb, axis=1)
@@ -307,6 +343,7 @@ class SlidingWindowReconstructor:
     def __call__(self, masked: np.ndarray, masks: np.ndarray) -> np.ndarray:
         """masked/masks: (T, H, W, C) -> reconstructed (T, H, W, C) float32."""
         T = masked.shape[0]
+        self._check_gauge_budget(masks)
         Tb = _round_up(max(T, self.stride), self.t_bucket)
         masked = pad_repeat_last(masked, Tb)
         masks = pad_repeat_last(masks, Tb)
@@ -372,7 +409,10 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
     output = Path(output)
     if output.exists():
         if overwrite:
-            shutil.rmtree(output)
+            if output.is_dir():
+                shutil.rmtree(output)
+            else:  # a stale regular file at the output path
+                output.unlink()
         else:
             raise FileExistsError(f"Output already exists: {output}")
 
@@ -437,7 +477,9 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
                 return
             if len(items) == 1:
                 idx, m, k = items[0]
-                write_event(pass_idx, idx, recon(m, k))
+                comp = (recon.sharded(m, k, mesh) if mesh is not None
+                        else recon(m, k))
+                write_event(pass_idx, idx, comp)
             else:
                 tmax = max(m.shape[0] for _, m, _ in items)
                 ms = np.stack([pad_repeat_last(m, tmax) for _, m, _ in items])
@@ -464,9 +506,12 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
                     flush(bucket)
             if (batch_idx + 1) % log_every == 0:
                 elapsed = time.time() - t0
+                # consumed count (batch_idx+1), not the flushed offset: with
+                # batch_events>1 buckets flush late and the offset would
+                # log 0 samples / 0.00 samples/sec while events queue
                 logging.info("Pass %d/%d | %d/%d samples | %.2f samples/sec",
-                             pass_idx + 1, passes, offset, num_samples,
-                             offset / max(elapsed, 1e-6))
+                             pass_idx + 1, passes, batch_idx + 1, num_samples,
+                             (batch_idx + 1) / max(elapsed, 1e-6))
         for bucket in list(pending):
             flush(bucket)
         elapsed = time.time() - t0

@@ -39,7 +39,6 @@ def colorize_grid(gt: np.ndarray, pred: np.ndarray, vmin: float,
     frames concatenated along width (train.py:384-430)."""
     import matplotlib
 
-    matplotlib.use("Agg")
     cmap = matplotlib.colormaps[cmap_name]
     norm = lambda x: (x - vmin) / (vmax - vmin + 1e-6)  # noqa: E731
     rows = [np.concatenate([cmap(norm(fr))[..., :3] for fr in seq], axis=1)

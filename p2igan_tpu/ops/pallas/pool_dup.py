@@ -71,6 +71,14 @@ def maxpool2_duplicate_pallas(x: jax.Array, bh: int = 8) -> jax.Array:
 
 @jax.custom_vjp
 def maxpool2_duplicate(x: jax.Array) -> jax.Array:
+    if x.dtype != jnp.float32:
+        # the kernel upcasts internally and would return f32 for a bf16
+        # input while the custom-vjp backward builds its reference at the
+        # ORIGINAL dtype -> cryptic cotangent dtype mismatch under grad;
+        # callers with other dtypes use the XLA fallback
+        # (layers.downsample_duplicate_channels gates on f32 already)
+        raise TypeError(
+            f"maxpool2_duplicate expects float32, got {x.dtype}")
     return maxpool2_duplicate_pallas(x)
 
 

@@ -14,7 +14,8 @@ from typing import Dict, List, Tuple, Union
 import numpy as np
 
 from .exp1 import transform_mmhr
-from .io import align_length, crop_center, ensure_dir, select_by_mask
+from .io import (align_length, crop_center, ensure_dir, ensure_thw,
+                 select_by_mask)
 
 SCATTER_COLORS = ['#1f77b4', '#ff7f0e', '#2ca02c', '#d62728', '#9467bd', '#8c564b']
 
@@ -31,10 +32,17 @@ def nse(pred: np.ndarray, gt: np.ndarray) -> float:
     return float(1.0 - num / (den + 1e-10))
 
 
-def _select_values(pred, gt, mask, mode: str) -> Tuple[np.ndarray, np.ndarray]:
-    invert = mode == "radar"
+def _mode_invert(mode: str) -> bool:
+    """Shared mask-mode semantics (one definition with exp1's
+    apply_mask_mode): radar scores the masked-OUT pixels, gauge the
+    observed ones."""
     if mode not in ("radar", "gauge"):
         raise ValueError(f"Unknown mode: {mode}")
+    return mode == "radar"
+
+
+def _select_values(pred, gt, mask, mode: str) -> Tuple[np.ndarray, np.ndarray]:
+    invert = _mode_invert(mode)
     return (select_by_mask(pred, mask, invert=invert).ravel(),
             select_by_mask(gt, mask, invert=invert).ravel())
 
@@ -47,9 +55,7 @@ def nse_per_frame(pred: np.ndarray, gt: np.ndarray, mask: np.ndarray,
     dropped per frame; frames with no finite pixel give NaN.
     """
     t = min(pred.shape[0], gt.shape[0])
-    invert = mode == "radar"
-    if mode not in ("radar", "gauge"):
-        raise ValueError(f"Unknown mode: {mode}")
+    invert = _mode_invert(mode)
     p = np.asarray(select_by_mask(pred[:t], mask, invert=invert), np.float64)
     g = np.asarray(select_by_mask(gt[:t], mask, invert=invert), np.float64)
     ok = np.isfinite(p) & np.isfinite(g)          # (T, n_sel)
@@ -90,15 +96,14 @@ def scatter_panels(pred_list, true, labels, save_path, lim=(0, 32),
 
     rng = np.random.default_rng(seed)
     n = len(pred_list)
-    fig, axes = plt.subplots(1, n, figsize=(18, 3), dpi=200)
-    if n == 1:
-        axes = [axes]
     # `true` is either one shared observation array or a per-method list of
     # paired truths (methods with missing events carry their own pairing)
     trues = list(true) if isinstance(true, (list, tuple)) else [true] * n
     if n == 0 or all(np.asarray(t).size == 0 for t in trues):
-        plt.close(fig)
-        return
+        return  # BEFORE subplots: plt.subplots(1, 0) raises ValueError
+    fig, axes = plt.subplots(1, n, figsize=(18, 3), dpi=200)
+    if n == 1:
+        axes = [axes]
     for i, (pred, label) in enumerate(zip(pred_list, labels)):
         ax = axes[i]
         tf = np.asarray(trues[i], np.float64).ravel()
@@ -174,7 +179,10 @@ def nse_boxplot(nse_by_method: Dict[str, List[float]], out_path: str) -> None:
     import matplotlib.pyplot as plt
 
     methods = list(nse_by_method.keys())
-    data = [nse_by_method[m] for m in methods]
+    # non-finite per-event scores (empty / all-NaN events) would make
+    # matplotlib draw NaN percentiles; the event count still reports the
+    # largest method's coverage below
+    data = [[v for v in nse_by_method[m] if np.isfinite(v)] for m in methods]
     fig, ax = plt.subplots(figsize=(6, 4), dpi=200)
     box = ax.boxplot(data, tick_labels=methods, patch_artist=True, showmeans=True,
                      boxprops=dict(linewidth=1.2, color='black'),
@@ -186,7 +194,8 @@ def nse_boxplot(nse_by_method: Dict[str, List[float]], out_path: str) -> None:
         patch.set_alpha(0.7)
     ax.set_ylabel('NSE', fontsize=14)
     ax.set_xlabel('Methods', fontsize=13)
-    ax.set_title(f'NSE Comparison ({len(data[0])} Rain Events)', fontsize=14,
+    n_events = max((len(v) for v in nse_by_method.values()), default=0)
+    ax.set_title(f'NSE Comparison ({n_events} Rain Events)', fontsize=14,
                  fontweight='bold')
     ax.set_ylim(-0.2, 1.0)
     plt.tight_layout()
@@ -228,14 +237,18 @@ def _per_event_pass(preds: Dict[str, Dict[str, np.ndarray]],
     for key, truth_ev in truth.items():
         if truth_ev is None:
             continue
-        t_len = int(np.asarray(truth_ev).shape[0])
+        # normalize to (T, H, W) BEFORE any slicing, like exp1's pairing
+        # (a (1,T,C,H,W) layout would otherwise give t_len=1 and flat
+        # stores would slice the wrong axis, silently mispairing events)
+        truth_ev = ensure_thw(np.asarray(truth_ev))
+        t_len = int(truth_ev.shape[0])
         truth_ev = crop_center(transform_mmhr(truth_ev), crop_size)
         for name, src in preds.items():
             if isinstance(src, dict):
                 raw_ev = src.get(key)
             else:
                 off = flat_offset.get(name, 0)
-                raw_ev = np.asarray(src)[off:off + t_len]
+                raw_ev = ensure_thw(np.asarray(src))[off:off + t_len]
                 flat_offset[name] = off + t_len
                 if raw_ev.shape[0] == 0:
                     raw_ev = None
@@ -300,5 +313,7 @@ def run_exp3(preds: Dict[str, Union[np.ndarray, Dict[str, np.ndarray]]],
                    residual=True)
     if nse_by_method:
         nse_boxplot(nse_by_method, figure("nse_boxplot.pdf"))
+    if pred_list and truth_flat.size:
+        # logfreq needs no per-event data — flat-truth runs produce it too
         logfreq_plot(pred_list, truth_flat, labels, figure("logfreq.pdf"))
     return metrics

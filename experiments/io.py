@@ -52,6 +52,9 @@ def crop_center(arr: np.ndarray, size: int) -> np.ndarray:
 def center_square(plane: np.ndarray, size: int) -> np.ndarray:
     """Center-crop a 2D (H, W) plane (gauge masks) to (size, size)."""
     h, w = plane.shape
+    if size > min(h, w):
+        raise ValueError(
+            f"crop size {size} exceeds the ({h}, {w}) mask plane")
     y0, x0 = (h - size) // 2, (w - size) // 2
     return plane[y0:y0 + size, x0:x0 + size]
 
@@ -73,9 +76,24 @@ def load_zarr_array(path: str, key: Optional[str] = None,
     if isinstance(store, zarrlite.Array):
         return np.asarray(store)
     if return_events:
+
+        def node_array(name):
+            node = store[name]
+            if isinstance(node, zarrlite.Array):
+                return np.asarray(node)
+            # event GROUPS (e.g. events/<ts>/frames layouts) hold their
+            # frames in a child array; np.asarray(Group) would produce a
+            # useless 0-d object array
+            inner = node.array_keys()
+            if not inner:
+                raise ValueError(
+                    f"event group {name!r} in {path} contains no array")
+            pick = "frames" if "frames" in inner else inner[0]
+            return np.asarray(node[pick])
+
         keys = store.group_keys() or store.array_keys()
         if keys:
-            return {name: np.asarray(store[name]) for name in keys}
+            return {name: node_array(name) for name in keys}
     if key is not None:
         return np.asarray(store[key])
     arrays = store.array_keys()

@@ -29,10 +29,27 @@ class EvalContext:
     cfg: ExperimentConfig
     mode_cfg: ModeConfig
     results_root: str
-    truth: Dict[str, np.ndarray]
-    preds: Dict[str, Dict[str, np.ndarray]]
     mask_train: np.ndarray
     mask_test: np.ndarray
+    # truth/preds load LAZILY: the exp2 stages re-read stores from paths,
+    # so a gif-only run must not hold every prediction array in memory
+    _truth: Dict[str, np.ndarray] | None = None
+    _preds: Dict[str, Dict[str, np.ndarray]] | None = None
+
+    @property
+    def truth(self) -> Dict[str, np.ndarray]:
+        if self._truth is None:
+            self._truth = load_zarr_array(self.mode_cfg.truth_path,
+                                          return_events=True)
+        return self._truth
+
+    @property
+    def preds(self) -> Dict[str, Dict[str, np.ndarray]]:
+        if self._preds is None:
+            self._preds = {
+                name: load_zarr_array(path, return_events=True)
+                for name, path in self.mode_cfg.methods.items()}
+        return self._preds
 
     @property
     def eval_mask(self) -> np.ndarray:
@@ -146,17 +163,16 @@ def _load_context(cfg: ExperimentConfig) -> EvalContext:
     ensure_dir(results_root)
     save_config_snapshot(os.path.join(results_root, "config.json"), cfg)
 
-    # observation is loaded for parity with the reference flow (its
-    # dispatcher loads it unconditionally) even though only exp2 reads the
-    # path directly
-    load_zarr_array(mode_cfg.observation_path)
+    # the reference dispatcher loads the observation store unconditionally;
+    # an existence check keeps its fail-fast property without materializing
+    # a potentially multi-GB array that no stage consumes from memory
+    if not os.path.exists(mode_cfg.observation_path):
+        raise FileNotFoundError(
+            f"observation store missing: {mode_cfg.observation_path}")
     return EvalContext(
         cfg=cfg,
         mode_cfg=mode_cfg,
         results_root=results_root,
-        truth=load_zarr_array(mode_cfg.truth_path, return_events=True),
-        preds={name: load_zarr_array(path, return_events=True)
-               for name, path in mode_cfg.methods.items()},
         mask_train=center_square(load_mask(mode_cfg.mask_train_path),
                                  cfg.crop_size),
         mask_test=center_square(load_mask(mode_cfg.mask_test_path),

@@ -30,6 +30,9 @@ PAPER_COLORS = [
     "#000000", "#46327e", "#277f8e", "#4ac16d", "#a0da39", "#fde725", "#ffffff",
 ]
 PAPER_SUB = 20
+# NOTE: the gradient below uses t = k/(PAPER_SUB-1), reaching each anchor
+# color one sub-interval early — REFERENCE QUIRK kept verbatim
+# (exp2.py:292-293) so figures match pixel-for-pixel.
 
 
 def _to_uint8(frame: np.ndarray, vmin: float, vmax: float) -> np.ndarray:
@@ -108,8 +111,20 @@ def list_event_keys(path: str) -> List[str]:
 
 def load_event_array(path: str, event_key: str) -> np.ndarray:
     z = zarrlite.open(path, mode="r")
+    if isinstance(z, zarrlite.Array):
+        # a bare array store has no events; `event_key in z` would iterate
+        # frames and raise an ambiguous-truth ValueError
+        raise FileNotFoundError(
+            f"{path} is a single array store, not an event store "
+            f"(missing event {event_key})")
     if event_key in z:
-        return np.asarray(z[event_key])
+        node = z[event_key]
+        if isinstance(node, zarrlite.Array):
+            return np.asarray(node)
+        inner = node.array_keys()  # events/<ts>/frames group layout
+        if inner:
+            pick = "frames" if "frames" in inner else inner[0]
+            return np.asarray(node[pick])
     raise FileNotFoundError(f"Missing event {event_key} in {path}")
 
 
@@ -186,7 +201,8 @@ def run_exp2(preds: Dict[str, Union[str, np.ndarray]],
     """Per-event combo GIFs (reference run_exp2, exp2.py:160-265)."""
     ensure_dir(out_dir)
     if frames is not None:
-        # caller-configured frame cap overrides the default GIF length
+        # caller-configured CAP on the GIF length (can only shorten the
+        # reference's 30-frame default, never extend it)
         max_frames = min(max_frames, int(frames))
     input_label = "Gauge" if mode == "gauge" else "Input"
     truth_label = "Radar" if mode == "gauge" else "Truth"
@@ -201,7 +217,8 @@ def run_exp2(preds: Dict[str, Union[str, np.ndarray]],
             pred_ev = transform_mmhr(pred_getter(name), divide_by_3)
             pred_ev, truth_ev = align_length(pred_ev, truth_ev)
             preds_ev[name] = crop_center(pred_ev, crop_size)[:max_frames]
-        total = min([truth_ev.shape[0]] + [p.shape[0] for p in preds_ev.values()])
+        total = min([truth_ev.shape[0], masked_input.shape[0]]
+                    + [p.shape[0] for p in preds_ev.values()])
         combo = {input_label: masked_input[:total], truth_label: truth_ev[:total]}
         combo.update({k: v[:total] for k, v in preds_ev.items()})
         # reference exp2.py:223 renders "event_01 | total frames 16"; the
@@ -277,8 +294,8 @@ def _paper_figure(method_order, events, mask, mask_points, cmap, norm,
     from matplotlib.gridspec import GridSpec
 
     ncols = len(method_order)
-    nrows_each = len(events[0]["select_idx"])
-    total_rows = (nrows_each + 1) * len(events)
+    rows_per_event = [len(e["select_idx"]) for e in events]
+    total_rows = sum(r + 1 for r in rows_per_event)
 
     fig = plt.figure(figsize=(fig_width_per_col * ncols, 1.9 * total_rows))
     gs = GridSpec(nrows=total_rows, ncols=ncols, figure=fig, top=0.93,
@@ -299,13 +316,14 @@ def _paper_figure(method_order, events, mask, mask_points, cmap, norm,
         ax_title.text(-0.015, 0.2, event["title"], fontsize=14, fontweight="bold",
                       ha="left", va="center", transform=ax_title.transAxes)
         row_cursor += 1
-        ax_grid = np.empty((nrows_each, ncols), dtype=object)
-        for r in range(nrows_each):
+        n_rows = len(event["select_idx"])  # per event: counts may differ
+        ax_grid = np.empty((n_rows, ncols), dtype=object)
+        for r in range(n_rows):
             for c in range(ncols):
                 ax_grid[r, c] = fig.add_subplot(gs[row_cursor + r, c])
         imgs, labels = load_images(event)
         _draw_block(ax_grid, imgs, labels, mask, mask_points, cmap, norm)
-        row_cursor += nrows_each
+        row_cursor += n_rows
 
     fig_path = os.path.join(out_dir, output_pdf)
     plt.tight_layout(rect=[0, 0, 1, 0.7])
@@ -401,6 +419,10 @@ def run_exp2_paper(folders: Dict[str, str],
                         if folder and idx < len(all_pngs) else None)
                 if path and os.path.isfile(path):
                     arr = np.array(Image.open(path).convert("F")).astype(np.float32) / 3.0
+                    # RAW conversion without transform_mmhr's floor/cap/clip
+                    # — REFERENCE QUIRK kept verbatim (exp2.py:343-344); the
+                    # figure's BoundaryNorm(clip=True) saturates above the
+                    # top bound anyway, so rendering is unaffected either way
                     arr = 10 ** (arr * 0.0625) * 0.036
                     frames.append(center_square(arr, crop_size))
                 else:

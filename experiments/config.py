@@ -39,6 +39,10 @@ class ExperimentConfig:
     gif_fps: int = 6
     exp1_pool8: bool = True
     exp2_paper_output_pdf: str = "two_events_stacked_titles.pdf"
+    # Crop/stitch the paper panels (reference exp2.py:571-633). The reference
+    # dispatches crop_pdf=False (main.py:115) but ships the capability; this
+    # switch activates it (works without PyMuPDF via the PIL fallback).
+    exp2_paper_crop_pdf: bool = False
     exp2_paper_crop_output: str = "cropped_stitched.pdf"
     exp2_paper_mask_path: Optional[str] = None
     exp2_paper_method_order: Tuple[str, ...] = (

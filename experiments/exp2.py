@@ -4,8 +4,11 @@ Re-design of reference ``experiments/exp2.py``. The paper colormap is the
 bounded 0-200 mm/h palette with 20-step gradients between anchor colors.
 The reference's event-key sort regex is double-escaped and never matches
 digits (exp2.py:142-143) — fixed here so events sort numerically.
-PDF crop/stitch requires PyMuPDF (``fitz``); when unavailable it is skipped
-with a warning instead of failing.
+PDF crop/stitch (reference exp2.py:571-633) uses PyMuPDF (``fitz``) when
+available; otherwise it falls back to cropping a PNG render of the same
+figure (saved by ``_paper_figure`` at the crop zoom's dpi) with pure PIL and
+writing the stitched panels as a PDF via PIL — the paper-figure deliverable
+exists either way.
 """
 
 from __future__ import annotations
@@ -286,7 +289,8 @@ def _draw_block(ax_grid, images, method_order, mask, mask_points, cmap, norm):
 
 
 def _paper_figure(method_order, events, mask, mask_points, cmap, norm,
-                  load_images, out_dir, output_pdf, fig_width_per_col):
+                  load_images, out_dir, output_pdf, fig_width_per_col,
+                  png_dpi=None):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -328,6 +332,11 @@ def _paper_figure(method_order, events, mask, mask_points, cmap, norm,
     fig_path = os.path.join(out_dir, output_pdf)
     plt.tight_layout(rect=[0, 0, 1, 0.7])
     fig.savefig(fig_path, format="pdf", bbox_inches="tight")
+    if png_dpi:
+        # raster twin of the PDF page for the fitz-free crop/stitch fallback
+        # (same Agg layout, so relative y/x fractions land identically)
+        fig.savefig(fig_path + ".png", format="png", dpi=png_dpi,
+                    bbox_inches="tight")
     plt.close(fig)
     return fig_path
 
@@ -376,8 +385,10 @@ def run_exp2_paper_zarr(observation_path: str,
             images.append(frames)
         return np.asarray(images), method_order
 
-    fig_path = _paper_figure(method_order, events, mask, mask_points, cmap, norm,
-                             load_images, out_dir, output_pdf, fig_width_per_col=2.4)
+    fig_path = _paper_figure(
+        method_order, events, mask, mask_points, cmap, norm, load_images,
+        out_dir, output_pdf, fig_width_per_col=2.4,
+        png_dpi=72 * crop_kwargs.get("zoom", 3.0) if crop_pdf else None)
     if crop_pdf:
         crop_pdf_panels(fig_path, os.path.join(out_dir, crop_output), **crop_kwargs)
 
@@ -430,44 +441,85 @@ def run_exp2_paper(folders: Dict[str, str],
             images.append(frames)
         return np.asarray(images), method_order
 
-    fig_path = _paper_figure(method_order, events, mask, mask_points, cmap, norm,
-                             load_images, out_dir, output_pdf, fig_width_per_col=2.1)
+    fig_path = _paper_figure(
+        method_order, events, mask, mask_points, cmap, norm, load_images,
+        out_dir, output_pdf, fig_width_per_col=2.1,
+        png_dpi=72 * crop_kwargs.get("zoom", 3.0) if crop_pdf else None)
     if crop_pdf:
         crop_pdf_panels(fig_path, os.path.join(out_dir, crop_output), **crop_kwargs)
+
+
+def _stitch_panels(parts: List[Image.Image], output_path: str,
+                   gap: int = 8) -> Tuple[int, int]:
+    """Stack panel strips vertically with a white gap and save; PIL writes
+    the output as PDF/PNG by suffix (reference exp2.py:596-616)."""
+    w = max(im.width for im in parts)
+    h = sum(im.height for im in parts) + gap * (len(parts) - 1)
+    canvas = Image.new("RGB", (w, h), (255, 255, 255))
+    y = 0
+    for im in parts:
+        canvas.paste(im, ((w - im.width) // 2, y))
+        y += im.height + gap
+    canvas.save(output_path)
+    return canvas.size
+
+
+def _clip_ranges(y_ranges) -> List[Tuple[float, float]]:
+    out = []
+    for (ry0, ry1) in y_ranges:
+        ry0, ry1 = max(0.0, min(1.0, ry0)), max(0.0, min(1.0, ry1))
+        if ry1 > ry0:
+            out.append((ry0, ry1))
+    return out
 
 
 def crop_pdf_panels(pdf_path: str, output_path: str,
                     y_ranges: Tuple[Tuple[float, float], ...] = ((0.019, 0.5), (0.58, 1.0)),
                     zoom: float = 3.0, margin_left: float = 0.0,
-                    margin_right: float = 0.0) -> None:
-    """Crop vertical panel strips from a PDF page and stitch them (PyMuPDF)."""
+                    margin_right: float = 0.0) -> Tuple[int, int] | None:
+    """Crop vertical panel strips from the paper-figure page and stitch them
+    (reference exp2.py:571-633). Fast path renders the PDF with PyMuPDF;
+    without fitz the PNG twin saved by ``_paper_figure`` at dpi=72*zoom is
+    cropped with pure PIL — identical relative geometry, same stitched
+    artifact. Returns the stitched (width, height) or None when skipped."""
     try:
         import fitz  # PyMuPDF
     except ImportError:
-        logging.warning("PyMuPDF (fitz) not available; skipping PDF crop/stitch")
-        return
+        return _crop_png_panels(pdf_path + ".png", output_path, y_ranges,
+                                margin_left, margin_right)
 
     doc = fitz.open(pdf_path)
     page = doc[0]
     (x0, y0, x1, y1) = page.rect
     parts = []
     mat = fitz.Matrix(zoom, zoom)
-    for (ry0, ry1) in y_ranges:
-        ry0, ry1 = max(0.0, min(1.0, ry0)), max(0.0, min(1.0, ry1))
-        if ry1 <= ry0:
-            continue
+    for (ry0, ry1) in _clip_ranges(y_ranges):
         clip = fitz.Rect(x0 + margin_left * (x1 - x0), y0 + ry0 * (y1 - y0),
                          x0 + (1 - margin_right) * (x1 - x0), y0 + ry1 * (y1 - y0))
         pix = page.get_pixmap(matrix=mat, clip=clip, alpha=False)
         parts.append(Image.frombytes("RGB", [pix.width, pix.height], pix.samples))
     doc.close()
     if not parts:
-        return
-    w = max(im.width for im in parts)
-    h = sum(im.height for im in parts) + 8 * (len(parts) - 1)
-    canvas = Image.new("RGB", (w, h), (255, 255, 255))
-    y = 0
-    for im in parts:
-        canvas.paste(im, ((w - im.width) // 2, y))
-        y += im.height + 8
-    canvas.save(output_path)
+        return None
+    return _stitch_panels(parts, output_path)
+
+
+def _crop_png_panels(png_path: str, output_path: str, y_ranges,
+                     margin_left: float,
+                     margin_right: float) -> Tuple[int, int] | None:
+    """fitz-free crop/stitch over the figure's PNG twin (pure PIL)."""
+    if not os.path.isfile(png_path):
+        logging.warning("PyMuPDF (fitz) unavailable and no PNG twin at %s; "
+                        "skipping PDF crop/stitch (re-run with crop_pdf=True "
+                        "so _paper_figure saves one)", png_path)
+        return None
+    page = Image.open(png_path).convert("RGB")
+    W, H = page.size
+    parts = []
+    for (ry0, ry1) in _clip_ranges(y_ranges):
+        box = (round(margin_left * W), round(ry0 * H),
+               round((1.0 - margin_right) * W), round(ry1 * H))
+        parts.append(page.crop(box))
+    if not parts:
+        return None
+    return _stitch_panels(parts, output_path)

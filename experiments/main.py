@@ -117,7 +117,7 @@ def stage_exp2_pdf(ctx: EvalContext) -> None:
             crop_size=cfg.crop_size,
             out_dir=ctx.out_dir("exp2_pdf"),
             output_pdf=cfg.exp2_paper_output_pdf,
-            crop_pdf=False,
+            crop_pdf=cfg.exp2_paper_crop_pdf,
             crop_output=cfg.exp2_paper_crop_output,
         )
         return
@@ -136,7 +136,7 @@ def stage_exp2_pdf(ctx: EvalContext) -> None:
         out_dir=ctx.out_dir("exp2_pdf"),
         output_pdf=cfg.exp2_paper_output_pdf,
         method_order=order,
-        crop_pdf=False,
+        crop_pdf=cfg.exp2_paper_crop_pdf,
         crop_output=cfg.exp2_paper_crop_output,
     )
 

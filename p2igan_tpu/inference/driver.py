@@ -80,10 +80,14 @@ class SlidingWindowReconstructor:
 
         gen = self.generator
         budget = InputBlock.gauge_budget(gen.idw_max_points, gen.length)
+        # Check EVERY leading slice (event/frame), not just [0]: batch() with
+        # per-event masks routes through the vmap fallback where selection
+        # runs on tracers, so an over-budget mask on ANY event would silently
+        # truncate (ADVICE r2). Masks are frame-constant in practice, so the
+        # max over (E*T) spatial patterns is the right bound either way.
         mask_xy = np.asarray(masks)[..., 0]
-        while mask_xy.ndim > 2:  # (E,)T leading dims -> one spatial pattern
-            mask_xy = mask_xy[0]
-        n_obs = int((mask_xy > 0).sum())
+        n_obs = int((mask_xy > 0).reshape(-1, *mask_xy.shape[-2:])
+                    .sum(axis=(1, 2)).max())
         if n_obs > budget:
             raise ValueError(
                 f"mask has {n_obs} observed gauges but the factored IDW "

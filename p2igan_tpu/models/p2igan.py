@@ -133,6 +133,7 @@ class P2IGenerator(nn.Module):
     idw_chunk: int = 16384
     idw_factored: bool = False  # exact fast path for frame-constant masks
     idw_shared_batch_mask: bool = False  # one spatial mask for the whole batch
+    idw_k: int = 4  # k-NN order (reference layer.py:259 uses 4)
     compute_dtype: Any = jnp.float32
 
     @classmethod
@@ -207,7 +208,7 @@ class P2IGenerator(nn.Module):
                     f"allows {max_gauges} (idw_max_points="
                     f"{self.idw_max_points}, length={self.length}); raise "
                     f"idw_max_points or fix the mask config")
-        return factored_prepare_full(mask_xy, max_gauges, k=4)
+        return factored_prepare_full(mask_xy, max_gauges, k=self.idw_k)
 
     @nn.compact
     def __call__(self, masked_frames: jax.Array, masks: jax.Array,
@@ -220,7 +221,7 @@ class P2IGenerator(nn.Module):
         x_in = jnp.transpose(masked_frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
         m_in = jnp.transpose(masks, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
 
-        x = InputBlock(depth=2, k=4, rho=2.0, tau=0.05, chunk=self.idw_chunk,
+        x = InputBlock(depth=2, k=self.idw_k, rho=2.0, tau=0.05, chunk=self.idw_chunk,
                        max_points=self.idw_max_points,
                        factored=self.idw_factored,
                        shared_batch_mask=self.idw_shared_batch_mask,

@@ -99,8 +99,7 @@ class Trainer:
 
         self.best_val = float("inf")
         self.state = self._init_state()
-        self.train_step = build_train_step(
-            self.generator, self.discriminator, self.opt_g, self.opt_d,
+        self._step_kwargs = dict(
             use_gan=self.use_gan, gan_loss_type=self.gan_loss_type,
             adversarial_weight=cfg["loss"].get("adversarial_weight", 0.01),
             k1_alpha=self.k1_alpha,
@@ -110,8 +109,20 @@ class Trainer:
             # to restore the reference's exact two-forward SN cadence
             fused_disc_forward=bool(train_cfg.get("fused_disc_forward", True)),
         )
-        self.eval_step = build_eval_step(self.generator, k1_alpha=self.k1_alpha)
-        self.predict_fn = build_predict_fn(self.generator)
+        self._build_steps()
+        # stis gauge masks come from ONE fixed file, so the factored IDW's
+        # gauge selection is a constant of the run; hoist it out of the
+        # compiled train/eval programs from the first batch's concrete mask
+        # (serving already hoists — inference/driver.py). Gated on the
+        # config mask type because sti's shared-mask path only shares
+        # WITHIN a batch, not across batches.
+        train_mask_cfg = (cfg.get("data", {}).get("train", {})
+                          .get("mask", {}) or {})
+        self._idw_hoist_pending = (
+            train_mask_cfg.get("type") == "stis"
+            and getattr(self.generator, "idw_factored", False)
+            and getattr(self.generator, "idw_shared_batch_mask", False)
+            and hasattr(self.generator, "prepare_idw"))
         self.tracker = get_tracker()
         viz_cfg = cfg.get("viz", {})
         self.viz_scale = str(viz_cfg.get("scale", "gt_pred")).lower()
@@ -127,6 +138,37 @@ class Trainer:
         self._profile_done = False  # >= trigger must fire once, incl. after
         self._profile_stop_at = 0   # a resume that lands past start_step
         self._decode_fn = None
+
+    # ------------------------------------------------------------------
+    def _build_steps(self, idw_prepared=None) -> None:
+        self.train_step = build_train_step(
+            self.generator, self.discriminator, self.opt_g, self.opt_d,
+            idw_prepared=idw_prepared, **self._step_kwargs)
+        self.eval_step = build_eval_step(self.generator,
+                                         k1_alpha=self.k1_alpha,
+                                         idw_prepared=idw_prepared)
+        self.predict_fn = build_predict_fn(self.generator,
+                                           idw_prepared=idw_prepared)
+
+    def _maybe_hoist_idw(self, masks) -> None:
+        """Hoist the mask-constant stis gauge selection out of the compiled
+        steps (VERDICT r2 item 3): the per-step gauge top-k (~2.2 ms of a
+        58 ms GAN step, PROFILE.md) and its backward leave the autodiff
+        graph. Runs once, before the first compile, from the first batch's
+        CONCRETE mask; masks that vary across the batch/frames fall back to
+        the in-step selection (still exact). Hoisted == inline is asserted
+        by tests/test_training.py::test_idw_hoisted_step_matches_inline."""
+        self._idw_hoist_pending = False
+        m = np.asarray(jax.device_get(masks))
+        if not (m[:1, :1] == m).all():
+            logging.warning("stis masks vary within the first batch; keeping "
+                            "the in-step gauge selection")
+            return
+        prep = self.generator.prepare_idw(jnp.asarray(m[0, 0, :, :, 0]))
+        prep = jax.device_get(prep)  # host constants: baked into the programs
+        self._build_steps(idw_prepared=jax.tree_util.tree_map(jnp.asarray, prep))
+        logging.info("Hoisted stis gauge selection out of the train step "
+                     "(computed once from the run's fixed gauge mask)")
 
     # ------------------------------------------------------------------
     def _check_window_length(self) -> None:
@@ -342,6 +384,8 @@ class Trainer:
             if self.global_step >= self.max_steps:
                 break  # BEFORE the step: a resume landing exactly at the
                 # budget must not train (and checkpoint) one extra step
+            if self._idw_hoist_pending:
+                self._maybe_hoist_idw(masks)
             if self.profile_dir and not self._profiling \
                     and not self._profile_done \
                     and self.global_step >= self.profile_start:

@@ -107,14 +107,15 @@ class FileTracker:
         if self._metrics_f is None:
             return
         value = float(value)
+        rec = {"key": key, "value": value, "step": step, "t": time.time()}
         if value != value or value in (float("inf"), float("-inf")):
             # strict-JSON lines: a bare NaN/Infinity token would make the
             # whole metrics file unparseable to non-Python tooling exactly
-            # when a diverging run needs debugging
-            value = repr(value)
-        self._metrics_f.write(
-            json.dumps({"key": key, "value": value, "step": step, "t": time.time()}) + "\n"
-        )
+            # when a diverging run needs debugging. Keep ``value``
+            # single-typed (null) and carry the token in ``raw`` (ADVICE r2:
+            # a string value changed the field's type mid-file).
+            rec["value"], rec["raw"] = None, repr(value)
+        self._metrics_f.write(json.dumps(rec) + "\n")
         self._metrics_f.flush()
 
     def log_metrics(self, metrics: Dict[str, float], step: Optional[int] = None) -> None:

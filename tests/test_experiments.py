@@ -107,6 +107,7 @@ def test_full_experiment_suite_on_fake_data(tmp_path):
         "mode": "radar",
         "run_exp1": True, "run_exp2_gif": True, "run_exp2_pdf": True,
         "run_exp3": True,
+        "exp2_paper_crop_pdf": True,
         "crop_size": HW,
         "exp2_paper_events": [
             {"event_id": 1, "select_idx": [0, 1], "title": "Event 1"},
@@ -137,6 +138,25 @@ def test_full_experiment_suite_on_fake_data(tmp_path):
     assert (out / "exp2_gif" / "comparison_event_01.gif").exists()
     assert (out / "exp2_gif" / "event_ranges.txt").exists()
     assert (out / "exp2_pdf" / "two_events_stacked_titles.pdf").exists()
+    # crop/stitch deliverable (reference exp2.py:571-633) must be produced
+    # even without PyMuPDF (PIL fallback over the figure's PNG twin): a
+    # valid PDF whose page stitches the two default y-range strips of the
+    # rendered page with an 8 px gap
+    stitched = out / "exp2_pdf" / "cropped_stitched.pdf"
+    assert stitched.exists()
+    assert stitched.read_bytes()[:5] == b"%PDF-"
+    from PIL import Image
+
+    png_twin = out / "exp2_pdf" / "two_events_stacked_titles.pdf.png"
+    assert png_twin.exists()
+    W, H = Image.open(png_twin).size
+    exp_h = ((round(0.5 * H) - round(0.019 * H))
+             + (H - round(0.58 * H)) + 8)
+    from experiments.exp2 import crop_pdf_panels
+
+    got = crop_pdf_panels(str(out / "exp2_pdf" / "two_events_stacked_titles.pdf"),
+                          str(stitched))
+    assert got == (W, exp_h)
     assert (out / "exp3" / "metrics.json").exists()
     assert (out / "exp3" / "nse_boxplot.pdf").exists()
     assert (out / "exp3" / "scatter_panels.pdf").exists()

@@ -5,6 +5,7 @@ This is the framework-level equivalent of the reference's documented workflow
 (README: prepare data -> train.py -> infer.py -> experiments.main)."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -80,3 +81,34 @@ def test_fake_data_to_experiments(tmp_path, monkeypatch):
     exp3 = json.loads(
         (tmp_path / "results" / "chain" / "exp3" / "metrics.json").read_text())
     assert "NSE_P2IGAN" in exp3
+
+
+@pytest.mark.slow
+def test_bench_small_staged_output():
+    """bench.py's staged-output discipline (round-2 postmortem: BENCH_r02
+    timed out with ZERO captured output). Every stage must print a complete,
+    parseable, CUMULATIVE JSON line the moment it lands, so a driver timeout
+    preserves all finished stages. BENCH_SMALL=1 shrinks the geometry so all
+    three stages (inference / train / families) run the real code paths on
+    the CPU backend in seconds."""
+    env = dict(os.environ, BENCH_SMALL="1", JAX_PLATFORMS="cpu")
+    env.pop("BENCH_FULL", None)
+    out = subprocess.run([sys.executable, "bench.py"], env=env, check=True,
+                         capture_output=True, text=True, timeout=900)
+    lines = [json.loads(ln) for ln in out.stdout.strip().splitlines()]
+    assert [ln["stages_done"] for ln in lines] == [
+        ["inference"], ["inference", "train"],
+        ["inference", "train", "families"]]
+    # each staged line is a complete superset of the previous: whichever
+    # line is last when a timeout hits carries every finished stage
+    for prev, cur in zip(lines, lines[1:]):
+        assert set(prev) <= set(cur)
+    final = lines[-1]
+    assert final["unit"] == "events/sec"
+    assert final["value"] and final["value"] > 0
+    for key in ("events_per_sec_batched", "mfu_inference",
+                "gan_steps_per_sec", "gan_samples_per_sec", "mfu_train",
+                "dk_events_per_sec", "stdk_events_per_sec",
+                "simple_events_per_sec"):
+        assert final.get(key), key
+    assert not [k for k in final if k.endswith("_error")]

@@ -181,6 +181,40 @@ def test_flattened_batch_program_matches_sequential():
     np.testing.assert_allclose(got2, seq2, atol=1e-3)
 
 
+def test_gauge_budget_guard_checks_every_event():
+    """An over-budget mask on a LATER event must fail loudly: batch() with
+    per-event masks takes the vmap fallback where gauge selection runs on
+    tracers and jnp.nonzero(size=...) silently truncates — the guard used to
+    validate only event 0 (ADVICE r2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.inference.driver import SlidingWindowReconstructor
+    from p2igan_tpu.models import P2IGenerator
+
+    rng = np.random.default_rng(5)
+    hw, t, ev_t = 16, 4, 8
+    gen = P2IGenerator(H=hw, W=hw, length=t, num_res=1, base_channels=16,
+                       idw_max_points=128, idw_chunk=256,
+                       idw_factored=True, idw_shared_batch_mask=True)
+    # budget = gauge_budget(128, 4) = 128 slots; event 0 stays under it,
+    # event 1 carries 200 observed gauges
+    masks = np.zeros((2, ev_t, hw, hw, 1), np.float32)
+    ok = np.zeros((hw * hw,), np.float32)
+    ok[rng.choice(hw * hw, 11, replace=False)] = 1.0
+    over = np.zeros((hw * hw,), np.float32)
+    over[rng.choice(hw * hw, 200, replace=False)] = 1.0
+    masks[0] = np.broadcast_to(ok.reshape(1, hw, hw, 1), (ev_t, hw, hw, 1))
+    masks[1] = np.broadcast_to(over.reshape(1, hw, hw, 1), (ev_t, hw, hw, 1))
+    masked = rng.random((2, ev_t, hw, hw, 1)).astype(np.float32) * masks
+    variables = gen.init(jax.random.key(0), jnp.asarray(masked[:1, :t]),
+                         jnp.asarray(masks[:1, :t]))
+    recon = SlidingWindowReconstructor(gen, variables, stride=t, overlap=1,
+                                       window_batch=2, t_bucket=ev_t)
+    with pytest.raises(ValueError, match="observed gauges"):
+        recon.batch(masked, masks)
+
+
 @pytest.mark.slow
 def test_run_inference_dk_model(tmp_path, monkeypatch):
     """The inference CLI path must serve the DeepKriging family too

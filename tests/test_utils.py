@@ -27,6 +27,23 @@ def test_file_tracker_roundtrip(tmp_path):
     assert (run_dir / "artifacts" / "artifact.txt").read_text() == "hello"
 
 
+def test_tracker_nonfinite_metrics_stay_single_typed(tmp_path):
+    """NaN/inf metrics must keep ``value`` single-typed (null, token in
+    ``raw``) so numeric consumers never hit a string value mid-file, and the
+    file stays strict JSON (ADVICE r2)."""
+    tr = FileTracker(tmp_path / "runs")
+    tr.set_experiment("exp1")
+    with tr.start_run(run_name="r1"):
+        tr.log_metric("loss", 1.0, step=0)
+        tr.log_metric("loss", float("nan"), step=1)
+        tr.log_metric("loss", float("inf"), step=2)
+    run_dir = tmp_path / "runs" / "exp1" / "r1"
+    lines = [json.loads(l) for l in
+             (run_dir / "metrics.jsonl").read_text().splitlines()]
+    assert [l["value"] for l in lines] == [1.0, None, None]
+    assert [l.get("raw") for l in lines] == [None, "nan", "inf"]
+
+
 def test_tracker_uri_and_default_run(tmp_path):
     tr = FileTracker(tmp_path)
     tr.set_tracking_uri(f"file:{tmp_path}/other")

@@ -55,7 +55,8 @@ class SlidingWindowReconstructor:
 
     def __init__(self, generator, variables: Dict[str, Any], stride: int = 16,
                  overlap: int = 12, window_batch: int = 4,
-                 output_scale: float = 255.0, t_bucket: int = 32):
+                 output_scale: float = 255.0, t_bucket: int = 32,
+                 scan_unroll: int = 1, accum_mode: str = "carry"):
         self.generator = generator
         self.variables = variables
         self.stride = max(1, int(stride))
@@ -64,6 +65,18 @@ class SlidingWindowReconstructor:
         self.window_batch = max(1, int(window_batch))
         self.output_scale = float(output_scale)
         self.t_bucket = t_bucket
+        # Scan-overhead knobs (VERDICT r2 item 2), measured by
+        # scripts/tune_infer.py, defaults = the winners recorded in
+        # PROFILE.md. ``scan_unroll`` is lax.scan's unroll factor over window
+        # chunks. ``accum_mode`` "carry" threads the overlap accumulator
+        # through the scan (per-chunk scatter-add serializes against the next
+        # chunk's generator); "stacked" emits per-chunk predictions as scan
+        # outputs and scatter-adds ONCE afterwards (removes the carry
+        # dependency at the cost of materializing all window predictions).
+        self.scan_unroll = max(1, int(scan_unroll))
+        if accum_mode not in ("carry", "stacked"):
+            raise ValueError(f"accum_mode must be carry|stacked: {accum_mode}")
+        self.accum_mode = accum_mode
         self._compiled: Dict[int, Callable] = {}
 
     def _check_gauge_budget(self, masks) -> None:
@@ -168,11 +181,18 @@ class SlidingWindowReconstructor:
         win_idx, tgt = self._window_tables(T, E, wb)
         win_idx = win_idx.reshape(-1, wb, stride)
         tgt = tgt.reshape(-1, wb, stride)
+        # overlap counts depend only on the static window tables, so they are
+        # a compile-time constant — never accumulated inside the scan
+        count_np = np.zeros((E * (T + 1),), np.float32)
+        np.add.at(count_np, tgt.reshape(-1),
+                  (tgt.reshape(-1) % (T + 1) < T).astype(np.float32))
 
         variables = self.variables
         gen = self.generator
         scale = self.output_scale
         use_prep = self._supports_prepared_idw()
+        unroll = self.scan_unroll
+        stacked = self.accum_mode == "stacked"
 
         @jax.jit
         def reconstruct(masked: jax.Array, masks: jax.Array) -> jax.Array:
@@ -181,27 +201,34 @@ class SlidingWindowReconstructor:
             flat_k = masks.reshape(E * T, H, W, C)
             prep = gen.prepare_idw(masks[0, 0, :, :, 0]) if use_prep else None
 
-            def chunk(carry, inp):
-                accum, count = carry
-                idx, seg = inp
+            def apply(idx):
                 wm = flat_m[idx]
                 wk = flat_k[idx]
                 if use_prep:
                     preds = gen.apply(variables, wm, wk, idw_prepared=prep)
                 else:
                     preds = gen.apply(variables, wm, wk)
-                preds = preds.astype(jnp.float32)
-                flat_seg = seg.reshape(-1)
-                accum = accum.at[flat_seg].add(preds.reshape(-1, H, W, C))
-                count = count.at[flat_seg].add(
-                    jnp.where(flat_seg % (T + 1) < T, 1.0, 0.0))
-                return (accum, count), None
+                return preds.astype(jnp.float32)
 
-            accum0 = jnp.zeros((E * (T + 1), H, W, C), jnp.float32)
-            count0 = jnp.zeros((E * (T + 1),), jnp.float32)
-            (accum, count), _ = jax.lax.scan(
-                chunk, (accum0, count0), (jnp.asarray(win_idx), jnp.asarray(tgt)))
-            return _overlap_average(accum, count, E, T, scale)
+            if stacked:
+                _, preds_all = jax.lax.scan(
+                    lambda c, idx: (c, apply(idx)), None,
+                    jnp.asarray(win_idx), unroll=unroll)
+                accum = jnp.zeros((E * (T + 1), H, W, C), jnp.float32)
+                accum = accum.at[jnp.asarray(tgt.reshape(-1))].add(
+                    preds_all.reshape(-1, H, W, C))
+            else:
+                def chunk(accum, inp):
+                    idx, seg = inp
+                    preds = apply(idx)
+                    return accum.at[seg.reshape(-1)].add(
+                        preds.reshape(-1, H, W, C)), None
+
+                accum0 = jnp.zeros((E * (T + 1), H, W, C), jnp.float32)
+                accum, _ = jax.lax.scan(
+                    chunk, accum0, (jnp.asarray(win_idx), jnp.asarray(tgt)),
+                    unroll=unroll)
+            return _overlap_average(accum, jnp.asarray(count_np), E, T, scale)
 
         return reconstruct
 
@@ -246,6 +273,9 @@ class SlidingWindowReconstructor:
 
         n_dev = int(np.prod(mesh.devices.shape))
         win_idx, tgt = self._window_tables(T, E, n_dev)
+        count_np = np.zeros((E * (T + 1),), np.float32)
+        np.add.at(count_np, tgt.reshape(-1),
+                  (tgt.reshape(-1) % (T + 1) < T).astype(np.float32))
 
         variables = self.variables
         gen = self.generator
@@ -271,9 +301,7 @@ class SlidingWindowReconstructor:
             flat_seg = jnp.asarray(tgt).reshape(-1)
             accum = jnp.zeros((E * (T + 1), H, W, C), jnp.float32)
             accum = accum.at[flat_seg].add(preds.reshape(-1, H, W, C))
-            count = jnp.zeros((E * (T + 1),), jnp.float32).at[flat_seg].add(
-                jnp.where(flat_seg % (T + 1) < T, 1.0, 0.0))
-            return _overlap_average(accum, count, E, T, scale)
+            return _overlap_average(accum, jnp.asarray(count_np), E, T, scale)
 
         return reconstruct
 

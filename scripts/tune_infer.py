@@ -27,13 +27,18 @@ T = 16
 
 def _timeit(fn, *args, reps=20) -> float:
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn(*args))
+    # tunnel sync discipline: block_until_ready can return before the device
+    # finishes on the tunneled backend; a scalar host fetch through the
+    # serial device queue proves all timed dispatches executed
+    sync = jax.jit(jnp.sum)
+    float(sync(fn(*args)))
     t0 = time.time()
     out = None
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(sync(out))
     return (time.time() - t0) / reps
 
 
@@ -69,6 +74,36 @@ def main() -> None:
         ms = _timeit(fn, ev_masked, ev_mask) * 1e3
         print(f"window_batch={wb:2d}: {ms:7.2f} ms/event  "
               f"({1e3 / ms:6.1f} events/sec)", flush=True)
+
+    # scan-overhead knobs on the HEADLINE program (flattened multi-event,
+    # VERDICT r2 item 2): unroll amortizes while-loop plumbing, "stacked"
+    # removes the accumulator carry (one scatter-add epilogue), large wb
+    # under stacked approaches a fully unrolled single generator call
+    import os
+
+    n_events = int(os.environ.get("TUNE_N_EVENTS", "16"))
+    bm = jnp.stack([ev_masked] * n_events)
+    bk = jnp.broadcast_to(ev_mask[None], bm.shape)
+    for kw in ({}, {"scan_unroll": 2}, {"scan_unroll": 4},
+               {"accum_mode": "stacked"},
+               {"accum_mode": "stacked", "scan_unroll": 2},
+               {"accum_mode": "stacked", "scan_unroll": 4},
+               {"accum_mode": "stacked", "window_batch": 16},
+               {"accum_mode": "stacked", "window_batch": 32},
+               {"window_batch": 16, "scan_unroll": 2}):
+        wb = kw.pop("window_batch", 8)
+        recon = SlidingWindowReconstructor(gen_f, vars_f, stride=16,
+                                           overlap=12, window_batch=wb,
+                                           output_scale=255.0,
+                                           t_bucket=EVENT_T, **kw)
+        try:
+            fn = recon.compiled_batch_fn(EVENT_T, n_events=n_events)
+            ms = _timeit(fn, bm, bk, reps=10) * 1e3 / n_events
+            print(f"batch{n_events} wb={wb:2d} {kw}: {ms:7.2f} ms/event  "
+                  f"({1e3 / ms:6.1f} events/sec)", flush=True)
+        except Exception as e:
+            print(f"batch{n_events} wb={wb:2d} {kw}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
     # downsample formulation A/B at the decoder's hot shape
     from p2igan_tpu.ops.convs import max_pool2d

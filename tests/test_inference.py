@@ -181,6 +181,44 @@ def test_flattened_batch_program_matches_sequential():
     np.testing.assert_allclose(got2, seq2, atol=1e-3)
 
 
+def test_scan_variants_match_carry_program():
+    """The scan-overhead knobs (scan_unroll, accum_mode=stacked) are pure
+    scheduling transforms of the flattened multi-event program: per-window
+    predictions are identical, only the order of the overlap scatter-adds
+    changes (f32 non-associativity at the x255 output scale -> atol 1e-4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.inference.driver import SlidingWindowReconstructor
+    from p2igan_tpu.models import P2IGenerator
+
+    rng = np.random.default_rng(3)
+    hw, t, ev_t = 16, 4, 12
+    gen = P2IGenerator(H=hw, W=hw, length=t, num_res=1, base_channels=16,
+                       idw_max_points=128, idw_chunk=256,
+                       idw_factored=True, idw_shared_batch_mask=True)
+    flat = np.zeros((hw * hw,), np.float32)
+    flat[rng.choice(hw * hw, 11, replace=False)] = 1.0
+    masks = np.broadcast_to(flat.reshape(1, 1, hw, hw, 1),
+                            (2, ev_t, hw, hw, 1)).astype(np.float32)
+    masked = rng.random((2, ev_t, hw, hw, 1)).astype(np.float32) * masks
+    variables = gen.init(jax.random.key(0), jnp.asarray(masked[:, :t]),
+                         jnp.asarray(masks[:, :t]))
+
+    base = SlidingWindowReconstructor(gen, variables, stride=t, overlap=2,
+                                      window_batch=2, t_bucket=ev_t)
+    ref = base.batch(masked, masks)
+    for kw in ({"scan_unroll": 2}, {"accum_mode": "stacked"},
+               {"accum_mode": "stacked", "scan_unroll": 3}):
+        recon = SlidingWindowReconstructor(gen, variables, stride=t,
+                                           overlap=2, window_batch=2,
+                                           t_bucket=ev_t, **kw)
+        np.testing.assert_allclose(recon.batch(masked, masks), ref,
+                                   atol=1e-4, err_msg=str(kw))
+    with pytest.raises(ValueError, match="accum_mode"):
+        SlidingWindowReconstructor(gen, variables, accum_mode="nope")
+
+
 def test_gauge_budget_guard_checks_every_event():
     """An over-budget mask on a LATER event must fail loudly: batch() with
     per-event masks takes the vmap fallback where gauge selection runs on

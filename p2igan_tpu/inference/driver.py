@@ -406,6 +406,7 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
                   stride: int = 16, overlap: int = 12,
                   output_scale: float = 255.0, overwrite: bool = False,
                   log_every: int = 50, window_batch: int = 4,
+                  scan_unroll: int = 1, accum_mode: str = "carry",
                   batch_events: int = 1, fold_weights: bool = True,
                   config_path: str = "<inline>") -> Path:
     """Full inference driver (reference scripts/infer.py main)."""
@@ -468,7 +469,8 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
         generator, variables = generator.fold_for_inference(variables)
     recon = SlidingWindowReconstructor(
         generator, variables, stride=stride, overlap=overlap,
-        window_batch=window_batch, output_scale=output_scale)
+        window_batch=window_batch, output_scale=output_scale,
+        scan_unroll=scan_unroll, accum_mode=accum_mode)
     mesh = None
     if batch_events > 1 and len(jax.devices()) > 1:
         # multi-chip serving: event batches shard their flattened window

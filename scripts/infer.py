@@ -40,6 +40,12 @@ def parse_args() -> argparse.Namespace:
                              "call (vmapped); 1 = sequential.")
     parser.add_argument("--window-batch", type=int, default=4,
                         help="Windows evaluated per generator call.")
+    parser.add_argument("--scan-unroll", type=int, default=1,
+                        help="lax.scan unroll factor over window chunks.")
+    parser.add_argument("--accum-mode", type=str, default="carry",
+                        choices=("carry", "stacked"),
+                        help="Overlap accumulation: in-scan carry or one "
+                             "post-scan scatter over stacked predictions.")
     parser.add_argument("--overwrite", action="store_true")
     parser.add_argument("--log-level", type=str, default="INFO")
     # accepted for reference-CLI compatibility; device selection is via JAX
@@ -66,6 +72,8 @@ def main(args: Optional[argparse.Namespace] = None) -> None:
         overwrite=parsed.overwrite,
         log_every=parsed.log_every,
         window_batch=parsed.window_batch,
+        scan_unroll=parsed.scan_unroll,
+        accum_mode=parsed.accum_mode,
         batch_events=parsed.batch_events,
         config_path=str(parsed.config),
     )

@@ -209,7 +209,10 @@ def bench_inference(gen, variables):
     fn, flops = _aot(recon.compiled_batch_fn(EVENT_T, n_events=N_EVENTS),
                      masked, masks)
     rate = _time_events(fn, masked, masks, N_EVENTS, reps=REPS)
-    flops_per_event = flops / N_EVENTS if flops else None
+    # cost_analysis counts the scan body ONCE; true program FLOPs =
+    # reported x trip count (epilogue <0.06%, PROFILE.md round-3 section)
+    n_chunks = recon.n_scan_chunks(EVENT_T, N_EVENTS)
+    flops_per_event = flops * n_chunks / N_EVENTS if flops else None
     mfu = (rate * flops_per_event / V5E_PEAK_FLOPS
            if flops_per_event else None)
 
@@ -371,8 +374,10 @@ def bench_families():
                 masked, masks)
             rate = _time_events(fn, masked, masks, N_EVENTS_FAM, reps=REPS)
             out[f"{name}_events_per_sec"] = round(rate, 4)
-            if flops:
-                out[f"{name}_flops_per_event"] = flops / N_EVENTS_FAM
+            if flops:  # scan-body-once correction, as in bench_inference
+                out[f"{name}_flops_per_event"] = (
+                    flops * recon.n_scan_chunks(EVENT_T, N_EVENTS_FAM)
+                    / N_EVENTS_FAM)
         except Exception as e:
             traceback.print_exc(file=sys.stderr)
             out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]

@@ -109,6 +109,17 @@ class SlidingWindowReconstructor:
                 f"program would silently truncate — raise idw_max_points "
                 f"(P2IGenerator.from_config sizes it from the config masks)")
 
+    def n_scan_chunks(self, T: int, E: int = 1) -> int:
+        """Scan trip count of the flattened (T, E) program: padded window
+        count / window_batch. Needed to scale XLA ``cost_analysis()`` FLOPs,
+        which count a ``lax.scan`` body ONCE regardless of trip count
+        (verified on both CPU and TPU backends; see PROFILE.md round-3
+        corrected-accounting section) — true program FLOPs ~=
+        reported x n_scan_chunks (the out-of-scan epilogue measured <0.06%
+        of one chunk at flagship geometry)."""
+        n_win = len(range(0, T, self.step))
+        return _round_up(E * n_win, self.window_batch) // self.window_batch
+
     def _supports_prepared_idw(self) -> bool:
         """True when the generator's IDW gauge selection is a constant of the
         event mask (factored shared-mask path) and can be hoisted out of the
@@ -405,7 +416,7 @@ def run_inference(cfg: Dict[str, Any], *, checkpoint: Optional[str] = None,
                   output: Optional[str] = None, passes: int = 1,
                   stride: int = 16, overlap: int = 12,
                   output_scale: float = 255.0, overwrite: bool = False,
-                  log_every: int = 50, window_batch: int = 4,
+                  log_every: int = 50, window_batch: int = 8,
                   scan_unroll: int = 1, accum_mode: str = "carry",
                   batch_events: int = 1, fold_weights: bool = True,
                   config_path: str = "<inline>") -> Path:

@@ -47,10 +47,21 @@ def round_up(n: int, m: int) -> int:
 def default_use_pallas(use_pallas):
     """Shared ``use_pallas=None`` resolution: Pallas kernels run on the TPU
     backend, the XLA fallback everywhere else. One helper so every gated op
-    (idw/layers/decode) follows the same policy."""
-    if use_pallas is None:
-        return jax.default_backend() == "tpu"
-    return use_pallas
+    (idw/layers/decode) follows the same policy.
+
+    Honors ``jax.default_device`` overrides: ``jax.default_backend()`` keeps
+    reporting the process default platform inside a
+    ``with jax.default_device(cpu)`` block, but code traced there LOWERS for
+    the CPU device, where Pallas cannot lower — host-side init/prepare paths
+    (bench.py's ``_cpu``, trainer init) rely on this."""
+    if use_pallas is not None:
+        return use_pallas
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        platform = dev if isinstance(dev, str) else getattr(
+            dev, "platform", str(dev))
+        return platform == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def idw_3d_knn(

@@ -38,8 +38,9 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--batch-events", type=int, default=1,
                         help="Equal-length events reconstructed per compiled "
                              "call (vmapped); 1 = sequential.")
-    parser.add_argument("--window-batch", type=int, default=4,
-                        help="Windows evaluated per generator call.")
+    parser.add_argument("--window-batch", type=int, default=8,
+                        help="Windows evaluated per generator call "
+                             "(8 = measured optimum on v5e, PROFILE.md).")
     parser.add_argument("--scan-unroll", type=int, default=1,
                         help="lax.scan unroll factor over window chunks.")
     parser.add_argument("--accum-mode", type=str, default="carry",

@@ -18,6 +18,14 @@ Prints one line per config; each timed region ends with a scalar host fetch
 
 from __future__ import annotations
 
+# Allow running as `python scripts/<name>.py` without installing the package.
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo = str(_Path(__file__).resolve().parents[1])
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+
 import argparse
 import os
 import time

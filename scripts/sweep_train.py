@@ -14,6 +14,14 @@ Each timed region ends with a scalar host fetch (tunneled backend).
 
 from __future__ import annotations
 
+# Allow running as `python scripts/<name>.py` without installing the package.
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo = str(_Path(__file__).resolve().parents[1])
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+
 import argparse
 import os
 import time
@@ -78,7 +86,7 @@ def main() -> None:
                           gen_extra=gv, opt_g=opt_g.init(gp), disc_params=dp,
                           disc_extra=dv, opt_d=opt_d.init(dp))
 
-    def run(batch: int, donate: bool, reps: int):
+    def run(batch: int, donate: bool, reps: int, use_prep: bool = True):
         masks = jnp.asarray(np.broadcast_to(
             mask_flat.reshape(1, 1, H, W, 1), (batch, T, H, W, 1)).copy())
         frames = jax.random.uniform(jax.random.key(2), (batch, T, H, W, 1))
@@ -86,7 +94,8 @@ def main() -> None:
         step = build_train_step(gen, disc, opt_g, opt_d, use_gan=True,
                                 gan_loss_type="hinge",
                                 adversarial_weight=0.01, k1_alpha=0.05,
-                                donate=donate, idw_prepared=prep)
+                                donate=donate,
+                                idw_prepared=prep if use_prep else None)
         state = fresh_state()
         t0 = time.time()
         step_c = step.lower(state, frames, masked, masks).compile()
@@ -100,7 +109,19 @@ def main() -> None:
         sps = reps / (time.time() - t0)
         return sps, compile_s
 
-    for donate in (False, True):
+    # hoisted vs inline gauge selection at the config batch (VERDICT r2 #3):
+    # inline re-runs the gauge top-k (and its backward) in every step
+    for use_prep in (True, False):
+        try:
+            sps, cs = run(12, False, args.reps, use_prep=use_prep)
+            tag = "hoisted" if use_prep else "inline "
+            print(f"batch=12  idw={tag}  {sps:6.2f} steps/s  "
+                  f"{sps * 12:7.1f} samples/s  (compile {cs:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"batch=12 idw_prep={use_prep} FAILED: "
+                  f"{type(e).__name__}: {e}"[:200], flush=True)
+
+    for donate in (True,):
         try:
             sps, cs = run(12, donate, args.reps)
             print(f"batch=12  donate={donate}  {sps:6.2f} steps/s  "

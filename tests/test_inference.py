@@ -289,3 +289,18 @@ def test_run_inference_dk_model(tmp_path, monkeypatch):
     ev = g["event_01"][:]
     assert ev.shape == (4, 32, 32, 1)
     assert np.isfinite(ev).all()
+
+
+def test_n_scan_chunks_matches_program_tables():
+    """FLOP-accounting helper (PROFILE.md round-3 correction): the scan trip
+    count used to rescale XLA cost_analysis (which counts a lax.scan body
+    once) must equal the flattened program's actual chunk table length."""
+    from p2igan_tpu.inference.driver import SlidingWindowReconstructor
+
+    for stride, overlap, wb, T, E in ((16, 12, 8, 64, 32), (16, 12, 8, 64, 1),
+                                      (4, 2, 2, 8, 2), (16, 12, 5, 64, 3)):
+        r = SlidingWindowReconstructor(None, {}, stride=stride,
+                                       overlap=overlap, window_batch=wb)
+        win_idx, _ = r._window_tables(T, E, wb)
+        assert win_idx.shape[0] % wb == 0
+        assert r.n_scan_chunks(T, E) == win_idx.shape[0] // wb

@@ -469,3 +469,23 @@ def test_pool_dup_kernel_matches_xla(rng):
         downsample_duplicate_channels(v, 4, use_pallas=False) ** 2))(x)
     g_out = jax.grad(lambda v: jnp.sum(maxpool2_duplicate(v) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-6)
+
+
+def test_default_use_pallas_honors_default_device(monkeypatch):
+    """``with jax.default_device(cpu)`` lowers for CPU while
+    ``jax.default_backend()`` keeps reporting the process default platform —
+    the gate must follow the device override or host-side init paths
+    (bench.py's _cpu, trainer init) try to lower Pallas kernels on CPU
+    (found on the TPU machine, round 3)."""
+    from p2igan_tpu.ops.idw import default_use_pallas
+
+    # explicit settings always win
+    assert default_use_pallas(True) is True
+    assert default_use_pallas(False) is False
+
+    # simulate a TPU-default process
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert default_use_pallas(None) is True
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        assert default_use_pallas(None) is False

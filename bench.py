@@ -72,8 +72,26 @@ RESULT = {
     "value": None,
     "unit": "events/sec",
     "vs_baseline": None,
+    "vs_prev_round": None,
     "stages_done": [],
 }
+
+
+def _best_prev_round() -> float | None:
+    """Best headline value across prior driver-captured BENCH_r*.json
+    artifacts, so the bench itself reports the round-over-round trajectory
+    (VERDICT r3 item 7). Each artifact stores the driver's record with the
+    parsed final JSON line under "parsed"."""
+    best = None
+    for p in sorted(Path(__file__).parent.glob("BENCH_r*.json")):
+        try:
+            rec = json.loads(p.read_text())
+            val = (rec.get("parsed") or {}).get("value")
+            if val and (best is None or float(val) > best):
+                best = float(val)
+        except Exception:
+            continue
+    return best
 
 
 def _emit() -> None:
@@ -222,6 +240,9 @@ def bench_inference(gen, variables):
         "flops_per_event": flops_per_event,
         "mfu_inference": round(mfu, 5) if mfu is not None else None,
     }
+    prev = _best_prev_round()
+    if prev:
+        out["vs_prev_round"] = round(rate / prev, 4)
     baseline_file = Path(__file__).parent / "BASELINE.json"
     if baseline_file.exists():
         published = json.loads(baseline_file.read_text()).get("published", {})
@@ -359,8 +380,11 @@ def bench_families():
     masked_np, masks_np = _event_batch(mask_flat, N_EVENTS_FAM)
     masked, masks = jnp.asarray(masked_np), jnp.asarray(masks_np)
     out = {}
-    for name, gen in (("dk", DKGenerator(length=T)),
-                      ("stdk", STDKGenerator(length=T)),
+    # shared_batch_mask: the stis gauge workload's mask is one fixed station
+    # set — same declaration the flagship makes via idw_shared_batch_mask
+    for name, gen in (("dk", DKGenerator(length=T, shared_batch_mask=True)),
+                      ("stdk", STDKGenerator(length=T,
+                                             shared_batch_mask=True)),
                       ("simple", SimpleGenerator(in_channels=1,
                                                  out_channels=1,
                                                  base_channels=BASE))):

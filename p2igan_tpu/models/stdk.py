@@ -33,11 +33,18 @@ class STDKGenerator(nn.Module):
     num_basis_space: Tuple[int, ...] = (10, 19, 37, 73)
     num_basis_time: Tuple[int, ...] = (10, 19, 37, 73)
     compute_dtype: Any = jnp.float32
+    # Serving-only fused VMEM tail (see models/dk.py / ops/pallas/dk_mlp_kernel)
+    fused_tail: bool = False
+    # Gauge workload declaration (see models/dk.py::select_visible)
+    shared_batch_mask: bool = False
 
     @classmethod
     def from_config(cls, config: Dict[str, Any], length: int | None = None,
                     **kw) -> "STDKGenerator":
         return cls(length=resolve_sample_length(config, length), **kw)
+
+    def fold_for_inference(self, variables):
+        return self.clone(fused_tail=True), variables
 
     @nn.compact
     def __call__(self, masked_frames: jax.Array, masks: jax.Array) -> jax.Array:
@@ -57,7 +64,8 @@ class STDKGenerator(nn.Module):
 
         x_flat = masked_frames[..., 0].reshape(b, t, HW).astype(self.compute_dtype)
         m_flat = masks[..., 0].reshape(b, t, HW).astype(jnp.float32)
-        z = select_visible(x_flat, m_flat, self.visible_k)  # (B, T, k)
+        z = select_visible(x_flat, m_flat, self.visible_k,
+                           self.shared_batch_mask)  # (B, T, k)
         z_seq = z.reshape(b, t * self.visible_k)
 
         feature_dim = K_s + K_t + t * self.visible_k
@@ -65,6 +73,39 @@ class STDKGenerator(nn.Module):
         w_s = mlp.fc1[:K_s]
         w_t = mlp.fc1[K_s:K_s + K_t]
         w_z = mlp.fc1[K_s + K_t:]
+
+        if self.fused_tail:
+            from ..ops.idw import default_use_pallas
+            from ..ops.pallas.dk_mlp_kernel import (mlp_tail_fused,
+                                                    mlp_tail_fused_padded,
+                                                    pad_hidden,
+                                                    pad_tail_weights)
+
+            hid = mlp.hidden_dim
+            if not default_use_pallas(None):
+                phi_s_part = phi_s @ w_s
+                offs = (((z_seq @ w_z + mlp.b1[0])[:, None, :]
+                         + (phi_t @ w_t)[None, :, :])).reshape(b * t, hid)
+                y = mlp_tail_fused(phi_s_part, offs, mlp.fc2, mlp.b2[0],
+                                   mlp.fc3, mlp.b3[0], mlp.fc4[:, 0],
+                                   mlp.b4[0, 0], use_pallas=False)
+                return y.reshape(b, t, h, w, 1).astype(jnp.float32)
+            # lane-aligned activations via padded first-layer weight columns
+            # (see models/dk.py)
+            Hp = pad_hidden(hid)
+            w_s_p = jnp.pad(w_s, ((0, 0), (0, Hp - hid)))
+            w_t_p = jnp.pad(w_t, ((0, 0), (0, Hp - hid)))
+            w_z_p = jnp.pad(w_z, ((0, 0), (0, Hp - hid)))
+            b1_p = jnp.pad(mlp.b1[0], (0, Hp - hid))
+            phi_p = phi_s @ w_s_p                        # (HW, Hp)
+            off_p = ((z_seq @ w_z_p + b1_p)[:, None, :]
+                     + (phi_t @ w_t_p)[None, :, :]).reshape(b * t, Hp)
+            y = mlp_tail_fused_padded(
+                phi_p, off_p, *pad_tail_weights(mlp.fc2, mlp.b2[0],
+                                                mlp.fc3, mlp.b3[0],
+                                                mlp.fc4[:, 0], mlp.b4[0, 0]),
+                cost_hidden=hid)
+            return y.reshape(b, t, h, w, 1).astype(jnp.float32)
 
         phi_s_part = phi_s @ w_s                    # (HW, hidden)
         phi_t_part = phi_t @ w_t                    # (T, hidden)

@@ -326,3 +326,39 @@ def test_dk_rejects_multichannel_input():
     x = jnp.zeros((1, 2, 8, 8, 3))
     with pytest.raises(ValueError, match="single-channel"):
         gen.init(jax.random.key(0), x, x)
+
+
+def test_select_visible_shared_batch_mask_matches_per_frame(rng):
+    """With a (b, t)-constant mask, the single-top_k fast path selects the
+    same values as the reference per-(b, t) top_k (same lowest-index ties)."""
+    from p2igan_tpu.models.dk import select_visible
+
+    b, t, HW, k = 3, 4, 64, 9
+    m_row = np.zeros((HW,), np.float32)
+    m_row[np.random.default_rng(0).choice(HW, k, replace=False)] = 1.0
+    m = jnp.asarray(np.broadcast_to(m_row, (b, t, HW)).copy())
+    x = jnp.asarray(rng.random((b, t, HW)).astype(np.float32))
+    ref = np.asarray(select_visible(x, m, k))
+    out = np.asarray(select_visible(x, m, k, shared_batch_mask=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("family", ["dk", "stdk"])
+def test_dk_shared_batch_mask_model_equality(rng, family):
+    from p2igan_tpu.models import DKGenerator, STDKGenerator
+
+    b, t, H, W = 2, 4, 12, 10
+    cls = DKGenerator if family == "dk" else STDKGenerator
+    kw = dict(length=t, visible_k=5, num_basis_space=(4, 6))
+    if family == "stdk":
+        kw["num_basis_time"] = (2, 3)
+    gen = cls(**kw)
+    gen_shared = cls(shared_batch_mask=True, **kw)
+    m_row = (rng.random((1, 1, H, W, 1)) < 0.3).astype(np.float32)
+    m_row[..., :1, :, :] = 1.0
+    masks = jnp.asarray(np.broadcast_to(m_row, (b, t, H, W, 1)).copy())
+    masked = jnp.asarray(rng.random((b, t, H, W, 1)).astype(np.float32)) * masks
+    variables = gen.init(jax.random.key(0), masked, masks)
+    ref = np.asarray(gen.apply(variables, masked, masks))
+    out = np.asarray(gen_shared.apply(variables, masked, masks))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)

@@ -489,3 +489,49 @@ def test_default_use_pallas_honors_default_device(monkeypatch):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         assert default_use_pallas(None) is False
+
+
+def test_dk_mlp_tail_fused_matches_reference(rng):
+    from p2igan_tpu.ops.pallas.dk_mlp_kernel import (mlp_tail_fused,
+                                                     mlp_tail_reference)
+
+    HW, h, J = 300, 100, 11  # deliberately unaligned: exercises all padding
+    phi = jnp.asarray(rng.normal(size=(HW, h)).astype(np.float32))
+    off = jnp.asarray(rng.normal(size=(J, h)).astype(np.float32))
+    fc2 = jnp.asarray(rng.normal(size=(h, h)).astype(np.float32) * 0.1)
+    fc3 = jnp.asarray(rng.normal(size=(h, h)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(h,)).astype(np.float32))
+    b3 = jnp.asarray(rng.normal(size=(h,)).astype(np.float32))
+    fc4 = jnp.asarray(rng.normal(size=(h,)).astype(np.float32))
+    b4 = jnp.float32(0.37)
+
+    ref = np.asarray(mlp_tail_reference(phi, off, fc2, b2, fc3, b3, fc4, b4))
+    out = np.asarray(mlp_tail_fused(phi, off, fc2, b2, fc3, b3, fc4, b4,
+                                    use_pallas=True))
+    assert out.shape == (J, HW)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("family", ["dk", "stdk"])
+def test_dk_fused_tail_model_matches_scan_path(rng, family):
+    """fold_for_inference (fused VMEM tail) == training scan path."""
+    from p2igan_tpu.models import DKGenerator, STDKGenerator
+
+    b, t, H, W = 2, 4, 12, 10
+    if family == "dk":
+        gen = DKGenerator(length=t, visible_k=7, num_basis_space=(4, 6))
+    else:
+        gen = STDKGenerator(length=t, visible_k=7, num_basis_space=(4, 6),
+                            num_basis_time=(2, 3))
+    masks = (rng.random((b, t, H, W, 1)) < 0.4).astype(np.float32)
+    masks[..., :1, :, :, :] = 1.0  # ensure >= visible_k observed pixels
+    frames = rng.random((b, t, H, W, 1)).astype(np.float32)
+    masked = jnp.asarray(frames * masks)
+    masks = jnp.asarray(masks)
+
+    variables = gen.init(jax.random.key(0), masked, masks)
+    ref = np.asarray(gen.apply(variables, masked, masks))
+    fused_gen, fused_vars = gen.fold_for_inference(variables)
+    assert fused_gen.fused_tail
+    out = np.asarray(fused_gen.apply(fused_vars, masked, masks))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)

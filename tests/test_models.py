@@ -40,6 +40,20 @@ def test_simple_generator_discriminator(rng):
     assert logits.shape == (2, 1)
 
 
+def test_simple_generator_serving_parity(rng):
+    """fold_for_inference's MXU reformulations (enc0 im2col matmul, dec2
+    S-matrix stencil) must match the plain conv path."""
+    masked, mask = _batch(rng, b=2, t=4, h=16, w=16)
+    gen = SimpleGenerator(base_channels=8)
+    vars_ = gen.init(jax.random.key(0), masked, mask)
+    ref = gen.apply(vars_, masked, mask)
+    sgen, svars = gen.fold_for_inference(vars_)
+    assert sgen.serving
+    out = sgen.apply(svars, masked, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_p2igan_generator_shapes(rng):
     masked, mask = _batch(rng, t=4, h=16, w=16)

@@ -533,8 +533,11 @@ class Group:
             "fill_value": fill_value,
             "order": "C",
             "filters": None,
-            "dimension_separator": dimension_separator,
         }
+        if dimension_separator != ".":
+            # zarr-python 2.x omits the key for the default "." separator
+            # (cross-validated: tests/test_zarrlite_fixture.py)
+            meta["dimension_separator"] = dimension_separator
         _atomic_write_text(p / ".zarray",
                            json.dumps(meta, indent=2, default=_json_default))
         arr = Array(p, read_only=False)

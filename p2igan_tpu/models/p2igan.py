@@ -273,6 +273,10 @@ class P2IDiscriminator(nn.Module):
     """
 
     in_channels: int = 16  # = C * T
+    # Compute dtype of the 3D branch (the train step's biggest coherent
+    # block, ~17 ms/step at batch 12). bf16 halves its HBM traffic; measured
+    # on chip before adopting (PROFILE.md "D 3D branch bf16").
+    branch3d_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, update_stats: bool = False) -> jax.Array:
@@ -288,12 +292,13 @@ class P2IDiscriminator(nn.Module):
         out2d = SNConv(256, 1, (3, 3), (1, 1), (1, 1), name="d2d_8")(y, update_stats)
 
         # 3D branch over (B, T, H, W, C)
-        z = lrelu(SNConv(c, 32, (3, 3, 3), (1, 2, 2), (1, 1, 1), name="d3d_0")(x, update_stats))
+        z = x.astype(self.branch3d_dtype)
+        z = lrelu(SNConv(c, 32, (3, 3, 3), (1, 2, 2), (1, 1, 1), name="d3d_0")(z, update_stats))
         z = lrelu(SNConv(32, 64, (3, 3, 3), (1, 2, 2), (1, 1, 1), name="d3d_2")(z, update_stats))
         z = lrelu(SNConv(64, 128, (3, 3, 3), (1, 2, 2), (1, 1, 1), name="d3d_4")(z, update_stats))
         z = lrelu(SNConv(128, 128, (3, 3, 3), (2, 1, 1), (1, 1, 1), name="d3d_6")(z, update_stats))
         out3d = SNConv(128, 1, (1, 1, 1), (1, 1, 1), (0, 0, 0), name="d3d_8")(z, update_stats)
-        out3d_2d = jnp.mean(out3d, axis=1)  # mean over T' -> (B, H', W', 1)
+        out3d_2d = jnp.mean(out3d.astype(jnp.float32), axis=1)  # mean over T'
 
         if out3d_2d.shape[1:3] != out2d.shape[1:3]:
             from ..ops.convs import bilinear_resize_align_false

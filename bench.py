@@ -342,6 +342,18 @@ def bench_train(gen, disc):
             }
             if err:
                 out["gan_batch12_error"] = err[:300]
+            # measured training option (PROFILE.md "D 3D branch bf16",
+            # +11%): the D's 3D branch in bf16. Reported as its own row —
+            # the f32 default above stays the reference-parity headline
+            # (the reference autocasts only its generator).
+            try:
+                import jax.numpy as jnp
+                disc_bf16 = disc.clone(branch3d_dtype=jnp.bfloat16)
+                sps_bf16, _, _, _ = _bench_train_at_batch(
+                    gen, disc_bf16, batch, mask_flat, prep, reps=TRAIN_REPS)
+                out["gan_steps_per_sec_d3d_bf16"] = round(sps_bf16, 4)
+            except Exception as e:
+                out["gan_d3d_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
             if batch == 12 and os.environ.get("BENCH_FULL"):
                 out.update(_bench_train_throughput(gen, disc, mask_flat, prep))
             return out

@@ -59,7 +59,14 @@ def build_discriminator(cfg: Dict[str, Any]) -> nn.Module:
     if model_name == "p2igan":
         data_cfg = cfg.get("data_loader") or cfg.get("data", {}).get("train", {})
         sample_length = data_cfg.get("sample_length", 16) or 16
-        return P2IDiscriminator(in_channels=in_channels * sample_length)
+        # Optional: run the D's 3D branch in bf16 (measured +11% GAN
+        # steps/sec, PROFILE.md "D 3D branch bf16"). f32 default = reference
+        # parity: the reference autocasts only the GENERATOR
+        # (models/p2igan.py:85-86); its discriminator runs full precision.
+        import jax.numpy as jnp
+        d3d = str(model_cfg.get("disc_branch3d_dtype", "float32"))
+        return P2IDiscriminator(in_channels=in_channels * sample_length,
+                                branch3d_dtype=jnp.dtype(d3d))
     return SimpleDiscriminator(in_channels=in_channels, base_channels=base_channels)
 
 

@@ -40,6 +40,25 @@ def test_simple_generator_discriminator(rng):
     assert logits.shape == (2, 1)
 
 
+def test_discriminator_branch3d_dtype(rng):
+    """bf16 3D branch: config-wired, close to f32, and f32 stays default."""
+    video = jnp.asarray(rng.random((2, 4, 16, 16, 1)).astype(np.float32))
+    disc = P2IDiscriminator(in_channels=4)
+    dvars = disc.init(jax.random.key(0), video)
+    ref = disc.apply(dvars, video)
+    out = disc.clone(branch3d_dtype=jnp.bfloat16).apply(dvars, video)
+    assert out.dtype == jnp.float32  # fused head stays f32
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(out - ref))) / scale < 0.02
+
+    cfg = {"model": {"name": "p2igan", "in_channels": 1,
+                     "disc_branch3d_dtype": "bfloat16"},
+           "data": {"train": {"sample_length": 4}}}
+    assert build_discriminator(cfg).branch3d_dtype == jnp.bfloat16
+    del cfg["model"]["disc_branch3d_dtype"]
+    assert build_discriminator(cfg).branch3d_dtype == jnp.float32
+
+
 def test_simple_generator_serving_parity(rng):
     """fold_for_inference's MXU reformulations (enc0 im2col matmul, dec2
     S-matrix stencil) must match the plain conv path."""

@@ -243,15 +243,18 @@ class P2IGenerator(nn.Module):
         x_8 = downsample_duplicate_channels(x_4, t)       # (H/8, 8*base)
 
         res1 = EBlock(base * 8, self.num_res, factored, name="Decoder_3")(x_8)
-        res1 = UPPos(base * 8, base * 4, self.H // 4, self.W // 4, name="UP_2")(res1)
+        res1 = UPPos(base * 8, base * 4, self.H // 4, self.W // 4,
+                     fold_gate=self.inference, name="UP_2")(res1)
 
         x_4 = x_4 + res1
         res2 = EBlock(base * 4, self.num_res, factored, name="Decoder_2")(x_4)
-        res2 = UPPos(base * 4, base * 2, self.H // 2, self.W // 2, name="UP_1")(res2)
+        res2 = UPPos(base * 4, base * 2, self.H // 2, self.W // 2,
+                     fold_gate=self.inference, name="UP_1")(res2)
 
         # NOTE: reference overwrites the x_2 and x_ skips (p2igan.py:100,105)
         res3 = EBlock(base * 2, self.num_res, factored, name="Decoder_1")(res2)
-        res3 = UPPos(base * 2, base, self.H, self.W, name="UP_0")(res3)
+        res3 = UPPos(base * 2, base, self.H, self.W,
+                     fold_gate=self.inference, name="UP_0")(res3)
 
         z = EBlock(base, self.num_res, factored, name="Decoder_0")(res3)
         # the grouped 1x1 head expands to block-diagonal dense — XLA's

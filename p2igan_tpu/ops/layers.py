@@ -49,7 +49,7 @@ class Conv2dTorch(nn.Module):
     kernel_init: nn.initializers.Initializer = kaiming_normal_fan_in
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, post_scale: jax.Array | None = None) -> jax.Array:
         k = self.kernel_size
         kernel = self.param(
             "kernel", self.kernel_init,
@@ -57,6 +57,14 @@ class Conv2dTorch(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,)) \
             if self.use_bias else None
+        if post_scale is not None:
+            # conv(x) * post_scale + bias, scale applied BETWEEN matmul and
+            # bias so a per-pixel gate commuted through the conv (UPPos
+            # fold_gate) lands in the conv's epilogue fusion
+            y = conv2d(x, kernel.astype(x.dtype), stride=self.stride,
+                       padding=self.padding, groups=self.groups, bias=None)
+            y = y * post_scale
+            return y if bias is None else y + bias.astype(y.dtype)
         return conv2d(x, kernel.astype(x.dtype), stride=self.stride,
                       padding=self.padding, groups=self.groups,
                       bias=None if bias is None else bias.astype(x.dtype))
@@ -399,15 +407,27 @@ class UPPos(nn.Module):
     out_ch: int
     H: int
     W: int
+    # Serving-only: the gate is per-PIXEL (pos has one channel), so it
+    # commutes with the channel-mixing 1x1 proj — W(x * 2sig(pos)) =
+    # 2sig(pos) * (W x) — moving the elementwise pass off the wide input
+    # tensor (up to (B,128,128,128) f32) into the conv's epilogue on the
+    # half-width output. Same math reassociated (float error ~1 ulp);
+    # training keeps the reference order.
+    fold_gate: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         pos = self.param("pos", nn.initializers.zeros, (1, self.H, self.W, 1))
         x = bilinear_upsample2x_align_corners(x)
-        gate = 2.0 * jax.nn.sigmoid(pos.astype(x.dtype)) - 1.0
-        x = x + x * gate
-        x = Conv2dTorch(self.in_ch, self.out_ch, 1, padding=0, use_bias=True,
-                        name="proj")(x)
+        proj = Conv2dTorch(self.in_ch, self.out_ch, 1, padding=0,
+                           use_bias=True, name="proj")
+        if self.fold_gate:
+            # x + x*(2sig(pos)-1) == x * 2sig(pos)
+            x = proj(x, post_scale=2.0 * jax.nn.sigmoid(pos.astype(x.dtype)))
+        else:
+            gate = 2.0 * jax.nn.sigmoid(pos.astype(x.dtype)) - 1.0
+            x = x + x * gate
+            x = proj(x)
         return jax.nn.relu(x)
 
 

@@ -136,6 +136,9 @@ def main() -> None:
     rows = []
 
     def block(name, fn, *call_args):
+        # device-put once: the tunneled backend transfers host args at
+        # ~16 MB/s, which would dominate the timing otherwise
+        call_args = tuple(jax.device_put(a) for a in call_args)
         c = jax.jit(fn).lower(*call_args).compile()
         ms = _time(c, call_args, args.reps)
         fl, by = _cost(c)

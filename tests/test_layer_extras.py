@@ -80,3 +80,22 @@ def test_loss_metrics_accumulate(rng):
     st3 = M.loss_metric_init()
     st3 = M.shock_difference_metric_update(st3, preds, target)
     assert np.isfinite(M.loss_metric_compute(st3))
+
+
+def test_uppos_fold_gate_parity(rng):
+    """Serving fold: W(x * 2sig(pos)) == 2sig(pos) * (W x) + bias ordering."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.ops.layers import UPPos
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    mod = UPPos(16, 8, 16, 16)
+    vars_ = mod.init(jax.random.key(0), x)
+    # non-zero pos so the gate actually does something
+    vars_ = jax.tree_util.tree_map(
+        lambda v: v + 0.3 if v.shape == (1, 16, 16, 1) else v, vars_)
+    want = mod.apply(vars_, x)
+    got = UPPos(16, 8, 16, 16, fold_gate=True).apply(vars_, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

@@ -45,8 +45,15 @@ def build_generator_for_inference(cfg: Dict[str, Any]) -> nn.Module:
             or data_cfg.get("train", {}).get("sample_length")
             or 16
         )
+        # shared_batch_mask follows the mask the SERVING data uses: the test
+        # split's (train-inherited unless overridden; explicit null deletes)
+        test_cfg = data_cfg.get("test", {})
+        mask_cfg = test_cfg["mask"] if "mask" in test_cfg else \
+            data_cfg.get("train", {}).get("mask")
         klass = DKGenerator if model_name == "dk" else STDKGenerator
-        return klass.from_config(cfg, length=sample_length)
+        return klass.from_config(
+            cfg, length=sample_length,
+            shared_batch_mask=(mask_cfg or {}).get("type") == "stis")
     return build_generator(cfg)
 
 

@@ -30,6 +30,15 @@ def resolve_sample_length(config, length=None) -> int:
     return int(data_cfg.get("sample_length", 16) or 16)
 
 
+def _train_mask_is_stis(config) -> bool:
+    """stis masks come from ONE fixed gauge file, so every (b, t) shares the
+    spatial pattern — the shared_batch_mask fast path applies by
+    construction (same rule P2IGenerator.from_config uses for
+    idw_shared_batch_mask). Other mask families draw per item."""
+    data_cfg = config.get("data_loader") or config.get("data", {}).get("train", {})
+    return (data_cfg.get("mask") or {}).get("type") == "stis"
+
+
 def _kaiming_linear_init(key, shape, dtype=jnp.float32):
     """Reference init: BaseNetwork.init_weights (layer.py:20-40) overrides
     every Linear with kaiming_normal_(a=0, mode='fan_in') — std
@@ -124,6 +133,7 @@ class DKGenerator(nn.Module):
     @classmethod
     def from_config(cls, config: Dict[str, Any], length: int | None = None,
                     **kw) -> "DKGenerator":
+        kw.setdefault("shared_batch_mask", _train_mask_is_stis(config))
         return cls(length=resolve_sample_length(config, length), **kw)
 
     def fold_for_inference(self, variables):

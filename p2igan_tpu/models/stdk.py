@@ -41,6 +41,9 @@ class STDKGenerator(nn.Module):
     @classmethod
     def from_config(cls, config: Dict[str, Any], length: int | None = None,
                     **kw) -> "STDKGenerator":
+        from .dk import _train_mask_is_stis
+
+        kw.setdefault("shared_batch_mask", _train_mask_is_stis(config))
         return cls(length=resolve_sample_length(config, length), **kw)
 
     def fold_for_inference(self, variables):

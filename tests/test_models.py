@@ -395,3 +395,48 @@ def test_dk_shared_batch_mask_model_equality(rng, family):
     ref = np.asarray(gen.apply(variables, masked, masks))
     out = np.asarray(gen_shared.apply(variables, masked, masks))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_dk_shared_batch_mask_from_config():
+    """stis mask configs turn on the shared-mask fast path; others don't;
+    the inference builder follows the TEST split's mask."""
+    from p2igan_tpu.models import build_generator_for_inference
+
+    base = {"model": {"name": "dk", "in_channels": 1},
+            "data": {"train": {"sample_length": 4,
+                               "mask": {"type": "stis", "file": "m.txt"}}}}
+    gen = build_generator(base)
+    assert isinstance(gen, DKGenerator) and gen.shared_batch_mask
+
+    base["data"]["train"]["mask"] = {"type": "sti", "block_sizes": [8]}
+    assert not build_generator(base).shared_batch_mask
+
+    # infer builder: test split overrides train's sti with stis
+    base["data"]["test"] = {"mask": {"type": "stis", "file": "m.txt"}}
+    gi = build_generator_for_inference(base)
+    assert gi.shared_batch_mask
+    # explicit null mask on test deletes the inherited one -> not shared
+    base["data"]["test"] = {"mask": None}
+    assert not build_generator_for_inference(base).shared_batch_mask
+
+    base["model"]["name"] = "stdk"
+    base["data"]["test"] = {"mask": {"type": "stis", "file": "m.txt"}}
+    gs = build_generator_for_inference(base)
+    assert isinstance(gs, STDKGenerator) and gs.shared_batch_mask
+
+
+def test_dk_shared_batch_mask_value_parity(rng):
+    """With a genuinely shared mask, the fast path == the generic path."""
+    mask1 = (rng.random((1, 1, 16, 16, 1)) < 0.3).astype(np.float32)
+    masks = jnp.asarray(np.broadcast_to(mask1, (2, 4, 16, 16, 1)).copy())
+    frames = jnp.asarray(rng.random((2, 4, 16, 16, 1)).astype(np.float32))
+    masked = frames * masks
+    k = int(mask1.sum())
+    for klass in (DKGenerator, STDKGenerator):
+        gen = klass(length=4, visible_k=k)
+        vars_ = gen.init(jax.random.key(0), masked, masks)
+        want = gen.apply(vars_, masked, masks)
+        got = klass(length=4, visible_k=k,
+                    shared_batch_mask=True).apply(vars_, masked, masks)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)

@@ -46,18 +46,27 @@ class Conv3dBlock(nn.Module):
     stride: int = 1
     # Serving-only: stride-1 conv as an im2col MXU matmul (see _conv3d_im2col)
     im2col: bool = False
+    # Serving-only (fold_for_inference): the BN running-stats affine has been
+    # folded into kernel/bias host-side, so the block is conv -> leaky only.
+    # Saves one full elementwise pass over the (B,T,H,W,Cout) activation.
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         kernel = self.param("kernel", _torch_conv_init, (3, 3, 3, self.cin, self.cout))
         bias = self.param("bias", nn.initializers.zeros, (self.cout,))
+        if self.folded and self.im2col and self.stride == 1:
+            # Fully fused tiny-Cin conv + (folded) BN + leaky in VMEM.
+            from ..ops.pallas.enc0_conv import enc0_conv3d_leaky
+            return enc0_conv3d_leaky(x, kernel, bias, slope=0.2)
         if self.im2col and self.stride == 1:
             x = _conv3d_im2col(x, kernel.astype(x.dtype), bias.astype(x.dtype))
         else:
             x = conv3d(x, kernel.astype(x.dtype), stride=self.stride, padding=1,
                        bias=bias.astype(x.dtype))
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         name="bn")(x)
+        if not self.folded:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="bn")(x)
         return jax.nn.leaky_relu(x, 0.2)
 
 
@@ -76,8 +85,23 @@ class SimpleGenerator(nn.Module):
 
     def fold_for_inference(self, variables):
         """Serving-path hook (same protocol as P2IGenerator/DKGenerator):
-        switch on the MXU reformulations; params are unchanged."""
-        return self.clone(serving=True), variables
+        switch on the MXU reformulations and fold each encoder block's BN
+        running-stats affine into its conv kernel/bias —
+        ``bn(conv(x) + b) == conv(x; W*s) + ((b - mean)*s + beta)`` with
+        ``s = gamma / sqrt(var + eps)`` — removing one elementwise pass over
+        every (B,T,H,W,Cout) activation. Reassociates one multiply per tap
+        (parity rtol ~1e-6; see test_simple_generator_serving_parity)."""
+        params = dict(variables["params"])
+        stats = variables.get("batch_stats", {})
+        for blk in ("enc0", "enc1", "enc2"):
+            p = dict(params[blk])
+            bn = p.pop("bn")
+            st = stats[blk]["bn"]
+            s = bn["scale"] / jnp.sqrt(st["var"] + 1e-5)
+            p["kernel"] = p["kernel"] * s
+            p["bias"] = (p["bias"] - st["mean"]) * s + bn["bias"]
+            params[blk] = p
+        return self.clone(serving=True), {"params": params}
 
     @nn.compact
     def __call__(self, masked_video: jax.Array, masks: jax.Array,
@@ -85,9 +109,11 @@ class SimpleGenerator(nn.Module):
         hidden = self.base_channels
         x = jnp.concatenate([masked_video, masks.astype(masked_video.dtype)], axis=-1)
         x = Conv3dBlock(self.in_channels * 2, hidden, im2col=self.serving,
-                        name="enc0")(x, train)
-        x = Conv3dBlock(hidden, hidden * 2, stride=2, name="enc1")(x, train)
-        x = Conv3dBlock(hidden * 2, hidden * 4, stride=2, name="enc2")(x, train)
+                        folded=self.serving, name="enc0")(x, train)
+        x = Conv3dBlock(hidden, hidden * 2, stride=2, folded=self.serving,
+                        name="enc1")(x, train)
+        x = Conv3dBlock(hidden * 2, hidden * 4, stride=2, folded=self.serving,
+                        name="enc2")(x, train)
 
         k0 = self.param("dec0_kernel", _torch_conv_init, (2, 2, 2, hidden * 2, hidden * 4))
         b0 = self.param("dec0_bias", nn.initializers.zeros, (hidden * 2,))
@@ -100,9 +126,9 @@ class SimpleGenerator(nn.Module):
         k2 = self.param("dec2_kernel", _torch_conv_init, (3, 3, 3, hidden, self.out_channels))
         b2 = self.param("dec2_bias", nn.initializers.zeros, (self.out_channels,))
         if self.serving and self.out_channels == 1:
-            x = self._dec2_smatrix(x, k2.astype(x.dtype), b2.astype(x.dtype))
-        else:
-            x = conv3d(x, k2.astype(x.dtype), padding=1, bias=b2.astype(x.dtype))
+            from ..ops.pallas.dec2_stencil import conv3d_cout1_sigmoid
+            return conv3d_cout1_sigmoid(x, k2, b2)
+        x = conv3d(x, k2.astype(x.dtype), padding=1, bias=b2.astype(x.dtype))
         return jax.nn.sigmoid(x)
 
     @staticmethod

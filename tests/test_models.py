@@ -61,16 +61,30 @@ def test_discriminator_branch3d_dtype(rng):
 
 def test_simple_generator_serving_parity(rng):
     """fold_for_inference's MXU reformulations (enc0 im2col matmul, dec2
-    S-matrix stencil) must match the plain conv path."""
+    S-matrix stencil, BN fold) must match the plain conv path.
+
+    BN stats/affine are randomized away from their identity init so the BN
+    fold is actually exercised; the fold reassociates one multiply per tap,
+    hence the 1e-5 (not exact) tolerance."""
     masked, mask = _batch(rng, b=2, t=4, h=16, w=16)
     gen = SimpleGenerator(base_channels=8)
-    vars_ = gen.init(jax.random.key(0), masked, mask)
+    import flax.core
+    vars_ = flax.core.unfreeze(gen.init(jax.random.key(0), masked, mask))
+    keys = iter(jax.random.split(jax.random.key(7), 24))
+    for blk in ("enc0", "enc1", "enc2"):
+        bn = vars_["params"][blk]["bn"]
+        bn["scale"] = 1.0 + 0.3 * jax.random.normal(next(keys), bn["scale"].shape)
+        bn["bias"] = 0.2 * jax.random.normal(next(keys), bn["bias"].shape)
+        st = vars_["batch_stats"][blk]["bn"]
+        st["mean"] = 0.1 * jax.random.normal(next(keys), st["mean"].shape)
+        st["var"] = jnp.exp(0.5 * jax.random.normal(next(keys), st["var"].shape))
     ref = gen.apply(vars_, masked, mask)
     sgen, svars = gen.fold_for_inference(vars_)
     assert sgen.serving
+    assert "batch_stats" not in svars and "bn" not in svars["params"]["enc0"]
     out = sgen.apply(svars, masked, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-6, atol=1e-6)
+                               rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.slow

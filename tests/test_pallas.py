@@ -535,3 +535,38 @@ def test_dk_fused_tail_model_matches_scan_path(rng, family):
     assert fused_gen.fused_tail
     out = np.asarray(fused_gen.apply(fused_vars, masked, masks))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_dec2_stencil_matches_conv(rng):
+    """Fused Cout=1 conv+sigmoid kernel == XLA conv3d + sigmoid, including
+    each window's temporal zero-padding edges."""
+    from p2igan_tpu.ops.convs import conv3d
+    from p2igan_tpu.ops.pallas.dec2_stencil import conv3d_cout1_sigmoid
+
+    for (b, t, h, w, c) in [(2, 4, 16, 16, 8), (1, 3, 8, 32, 5)]:
+        x = jnp.asarray(rng.normal(size=(b, t, h, w, c)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, 3, c, 1)).astype(np.float32) * 0.2)
+        bias = jnp.asarray(rng.normal(size=(1,)).astype(np.float32))
+        ref = np.asarray(jax.nn.sigmoid(conv3d(x, k, padding=1, bias=bias)))
+        out = np.asarray(conv3d_cout1_sigmoid(x, k, bias, use_pallas=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+        # and the documented fallback path
+        out_fb = np.asarray(conv3d_cout1_sigmoid(x, k, bias, use_pallas=False))
+        np.testing.assert_allclose(out_fb, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_enc0_conv_matches_conv(rng):
+    """Fused tiny-Cin conv+leaky kernel == XLA conv3d + leaky_relu."""
+    from p2igan_tpu.ops.convs import conv3d
+    from p2igan_tpu.ops.pallas.enc0_conv import enc0_conv3d_leaky
+
+    for (b, t, h, w, cin, cout) in [(2, 4, 16, 16, 2, 16), (1, 3, 8, 32, 3, 8)]:
+        x = jnp.asarray(rng.normal(size=(b, t, h, w, cin)).astype(np.float32))
+        k = jnp.asarray(
+            rng.normal(size=(3, 3, 3, cin, cout)).astype(np.float32) * 0.2)
+        bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+        ref = np.asarray(jax.nn.leaky_relu(conv3d(x, k, padding=1, bias=bias), 0.2))
+        out = np.asarray(enc0_conv3d_leaky(x, k, bias, use_pallas=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+        out_fb = np.asarray(enc0_conv3d_leaky(x, k, bias, use_pallas=False))
+        np.testing.assert_allclose(out_fb, ref, rtol=1e-5, atol=1e-6)

@@ -428,3 +428,50 @@ def test_trainer_hoists_stis_gauge_selection(tmp_path, monkeypatch):
     assert tr.train_step is not inline_step  # steps were rebuilt hoisted
     assert tr.global_step == 1
     assert np.isfinite(tr.last_rec_loss)
+
+
+def test_adam_nomu_matches_optax():
+    """make_optimizer's mu-free beta1=0 fast path must be BIT-identical to
+    stock optax.adam(b1=0) — same updates, same params over several steps —
+    while carrying no mu buffer in its state (the param-sized saving is the
+    point; PROFILE.md round-4 opt_g roofline)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from p2igan_tpu.training.steps import make_optimizer
+
+    rng = np.random.default_rng(7)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((33, 65)).astype(np.float32)),
+        "b": jnp.asarray(rng.standard_normal((65,)).astype(np.float32)),
+        "scalar": jnp.float32(0.3),
+    }
+    fast = make_optimizer({"lr": 1e-3, "beta1": 0.0, "beta2": 0.99})
+    ref = optax.adam(learning_rate=1e-3, b1=0.0, b2=0.99)
+
+    # no param-sized mu leaf: fast state must hold exactly ONE param-sized
+    # tree (nu) vs optax.adam's two (mu + nu)
+    n_param_leaves = len(jax.tree.leaves(params))
+    fast_leaves = jax.tree.leaves(fast.init(params))
+    ref_leaves = jax.tree.leaves(ref.init(params))
+    assert len(fast_leaves) == len(ref_leaves) - n_param_leaves
+
+    sf, sr = fast.init(params), ref.init(params)
+    pf, pr = params, params
+    for step in range(4):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape).astype(np.float32)), pf)
+        uf, sf = fast.update(g, sf, pf)
+        ur, sr = ref.update(g, sr, pr)
+        pf = optax.apply_updates(pf, uf)
+        pr = optax.apply_updates(pr, ur)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), uf, ur)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), pf, pr)
+
+    # nonzero beta1 must fall back to stock adam (mu present again)
+    full = make_optimizer({"lr": 1e-3, "beta1": 0.5, "beta2": 0.99})
+    assert len(jax.tree.leaves(full.init(params))) == len(ref_leaves)

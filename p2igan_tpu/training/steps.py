@@ -95,10 +95,13 @@ def make_optimizer(opt_cfg: Dict[str, Any]) -> optax.GradientTransformation:
     lr = opt_cfg.get("lr", 1e-4)
     b1 = opt_cfg.get("beta1", 0.0)
     b2 = opt_cfg.get("beta2", 0.99)
+    # eps threads through BOTH branches so the fast path and the optax.adam
+    # fallback can never diverge if a config ever sets it (ADVICE r4).
+    eps = opt_cfg.get("eps", 1e-8)
     if b1 == 0.0:
-        return optax.chain(_scale_by_adam_nomu(b2),
+        return optax.chain(_scale_by_adam_nomu(b2, eps=eps),
                            optax.scale_by_learning_rate(lr))
-    return optax.adam(learning_rate=lr, b1=b1, b2=b2)
+    return optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=eps)
 
 
 def _gen_apply_factory(gen, idw_prepared=None) -> Callable:

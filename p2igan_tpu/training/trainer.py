@@ -34,6 +34,37 @@ from .checkpoint import load_checkpoint_raw, save_checkpoint
 from .steps import TrainState, build_eval_step, build_predict_fn, build_train_step, make_optimizer
 
 
+def _migrate_opt_state(template, data):
+    """Drop stale ``mu`` entries when restoring pre-round-4 checkpoints.
+
+    Checkpoints written before the b1==0 fast path stored optax's full
+    ``ScaleByAdamState(count, mu, nu)``; the current template for those
+    configs is ``_AdamNoMuState(count, nu)``. At ``b1 == 0`` the first
+    moment is identically the last gradient (``mu = (1-b1)*g = g``) and
+    carries no optimizer information, so it is safe to discard. Walks the
+    serialized dict guided by the live template so only genuine
+    ScaleByAdamState->_AdamNoMuState sites are migrated.
+    """
+    from .steps import _AdamNoMuState
+
+    if isinstance(template, _AdamNoMuState):
+        if isinstance(data, dict) and "mu" in data:
+            return {k: v for k, v in data.items() if k != "mu"}
+        return data
+    if isinstance(data, dict):
+        if isinstance(template, (tuple, list)):
+            return {k: (_migrate_opt_state(template[int(k)], v)
+                        if k.isdigit() and int(k) < len(template) else v)
+                    for k, v in data.items()}
+        if isinstance(template, dict):
+            return {k: _migrate_opt_state(template.get(k), v)
+                    for k, v in data.items()}
+        if hasattr(template, "__dataclass_fields__"):
+            return {k: _migrate_opt_state(getattr(template, k, None), v)
+                    for k, v in data.items()}
+    return data
+
+
 class Trainer:
     def __init__(self, cfg: Dict[str, Any], mesh=None):
         self.cfg = cfg
@@ -527,17 +558,20 @@ class Trainer:
         def restore(template, data):
             return ser.from_state_dict(template, data)
 
+        def restore_opt(template, data):
+            return ser.from_state_dict(template, _migrate_opt_state(template, data))
+
         gen = raw["generator"]
         new = state.replace(
             gen_params=restore(state.gen_params, gen["params"]),
             gen_extra=restore(state.gen_extra, gen["extra"]),
-            opt_g=restore(state.opt_g, raw["optimizer_g"]),
+            opt_g=restore_opt(state.opt_g, raw["optimizer_g"]),
         )
         if state.disc_params is not None and "discriminator" in raw:
             new = new.replace(
                 disc_params=restore(state.disc_params, raw["discriminator"]["params"]),
                 disc_extra=restore(state.disc_extra, raw["discriminator"]["extra"]),
-                opt_d=restore(state.opt_d, raw["optimizer_d"]),
+                opt_d=restore_opt(state.opt_d, raw["optimizer_d"]),
             )
         self.global_step = int(raw.get("global_step", 0))
         self.start_epoch = int(raw.get("epoch", 0))

@@ -314,6 +314,42 @@ def test_resume_continues_epoch_stream(data_root, monkeypatch, tmp_path):
         p_before, np.asarray(tr2.state.gen_params["enc0"]["kernel"]))
 
 
+def test_resume_migrates_pre_nomu_checkpoint(data_root, monkeypatch, tmp_path):
+    """Checkpoints written before the mu-free Adam fast path stored optax's
+    full ScaleByAdamState(count, mu, nu); load must still resume (ADVICE r4).
+    At b1==0 mu is identically the last gradient — no information — so the
+    migration shim drops it before from_state_dict."""
+    monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
+    cfg = _cfg(data_root, model="simple", use_gan=1)
+    cfg["save_dir"] = str(tmp_path / "weights_mu")
+    cfg["train"]["iterations"] = 2
+    tr = Trainer(cfg)
+    tr.train()
+
+    # Rewrite latest.ckpt into the pre-round-4 on-disk shape: the inner Adam
+    # state regains a 'mu' buffer (zeros — its value is never consumed).
+    from p2igan_tpu.training.checkpoint import (load_checkpoint_raw,
+                                                save_checkpoint)
+    raw = load_checkpoint_raw(tmp_path / "weights_mu" / "latest.ckpt")
+    for key in ("optimizer_g", "optimizer_d"):
+        inner = raw[key]["0"]
+        assert set(inner) == {"count", "nu"}, f"unexpected {key} layout"
+        import jax
+        inner["mu"] = jax.tree.map(np.zeros_like, inner["nu"])
+    save_checkpoint(tmp_path / "weights_mu" / "old.ckpt", raw)
+
+    tr2 = Trainer(cfg)
+    tr2.load(str(tmp_path / "weights_mu" / "old.ckpt"))
+    # migrated state matches the modern checkpoint exactly
+    import jax
+    for a, b in zip(jax.tree.leaves(tr.state.opt_g),
+                    jax.tree.leaves(tr2.state.opt_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(tr.state.gen_params["enc0"]["kernel"]),
+        np.asarray(tr2.state.gen_params["enc0"]["kernel"]))
+
+
 def test_resume_rejects_torch_checkpoint(data_root, monkeypatch, tmp_path):
     monkeypatch.setenv("P2IGAN_FORCE_FILE_TRACKER", "1")
     cfg = _cfg(data_root, model="simple", use_gan=0)

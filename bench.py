@@ -15,6 +15,12 @@ so whichever line is last when a timeout hits carries every finished stage:
   2. train      — full-config GAN step, batch 12 (ONE remote compile),
                   stis gauge selection hoisted out of the step
   3. families   — dk / stdk / simple events/sec through the same protocol
+  4. family_train — dk / stdk / simple train steps/sec, batch 12, rec-loss
+                  configs (reference trains every family: train.py:98-174)
+
+Headline/family rows are the MEDIAN of >=3 timed blocks with min/max
+emitted as ``{metric}_spread`` (VERDICT r4 item 8: self-vs-driver gaps must
+be diagnosable from the artifact alone).
 
 Model/optimizer init and the IDW gauge tables run on the host CPU backend —
 they need no remote compile. Extras (sequential-dispatch inference, the
@@ -194,14 +200,27 @@ def _prepare_idw_cpu(gen, mask_flat: np.ndarray):
     return tuple(np.asarray(p) for p in prep)
 
 
+N_BLOCKS = 3  # timed blocks per metric: median + (min, max) spread
+
+
 def _time_events(fn, masked, masks, n_events: int, reps: int):
+    """Median events/sec over N_BLOCKS timed blocks + (min, max) spread.
+
+    Each block dispatches ``reps`` programs and ends with a scalar host
+    fetch (the serial device queue proves all dispatches ran). The first
+    block is preceded by a full warmup execution, so compile/transfer
+    effects land outside every timed region."""
     out = fn(masked, masks)  # warmup dispatch
     assert np.isfinite(_sync(out))
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(masked, masks)
-    _sync(out)  # queue is serial: the last program's completion proves all
-    return reps * n_events / (time.time() - t0)
+    rates = []
+    for _ in range(N_BLOCKS):
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(masked, masks)
+        _sync(out)
+        rates.append(reps * n_events / (time.time() - t0))
+    return float(np.median(rates)), [round(min(rates), 4),
+                                     round(max(rates), 4)]
 
 
 def _make_reconstructor(gen, variables, window_batch: int = WINDOW_BATCH):
@@ -226,7 +245,7 @@ def bench_inference(gen, variables):
     # serving mode: all equal-length events through ONE flattened program
     fn, flops = _aot(recon.compiled_batch_fn(EVENT_T, n_events=N_EVENTS),
                      masked, masks)
-    rate = _time_events(fn, masked, masks, N_EVENTS, reps=REPS)
+    rate, spread = _time_events(fn, masked, masks, N_EVENTS, reps=REPS)
     # cost_analysis counts the scan body ONCE; true program FLOPs =
     # reported x trip count (epilogue <0.06%, PROFILE.md round-3 section)
     n_chunks = recon.n_scan_chunks(EVENT_T, N_EVENTS)
@@ -237,6 +256,7 @@ def bench_inference(gen, variables):
     out = {
         "value": round(rate, 4),
         "events_per_sec_batched": round(rate, 4),
+        "events_per_sec_spread": spread,
         "flops_per_event": flops_per_event,
         "mfu_inference": round(mfu, 5) if mfu is not None else None,
     }
@@ -307,11 +327,15 @@ def _bench_train_at_batch(gen, disc, batch: int, mask_flat, prep, reps: int):
     step_c, flops_per_step = _aot(step_fn, state, frames, masked, masks)
     state, metrics = step_c(state, frames, masked, masks)
     assert np.isfinite(float(metrics["loss"]))  # true host sync
-    t0 = time.time()
-    for _ in range(reps):
-        state, metrics = step_c(state, frames, masked, masks)
-    float(metrics["loss"])  # steps chain through state: forces all
-    return reps / (time.time() - t0), flops_per_step, step_c, state
+    rates = []
+    for _ in range(N_BLOCKS):
+        t0 = time.time()
+        for _ in range(reps):
+            state, metrics = step_c(state, frames, masked, masks)
+        float(metrics["loss"])  # steps chain through state: forces all
+        rates.append(reps / (time.time() - t0))
+    spread = [round(min(rates), 4), round(max(rates), 4)]
+    return float(np.median(rates)), spread, flops_per_step, step_c, state
 
 
 def bench_train(gen, disc):
@@ -328,13 +352,14 @@ def bench_train(gen, disc):
     err = None
     for batch in TRAIN_BATCHES:
         try:
-            steps_per_sec, flops_per_step, step_c, state = \
+            steps_per_sec, spread, flops_per_step, step_c, state = \
                 _bench_train_at_batch(gen, disc, batch, mask_flat, prep,
                                       reps=TRAIN_REPS)
             mfu = (steps_per_sec * flops_per_step / V5E_PEAK_FLOPS
                    if flops_per_step else None)
             out = {
                 "gan_steps_per_sec": round(steps_per_sec, 4),
+                "gan_steps_per_sec_spread": spread,
                 "gan_batch": batch,
                 "gan_samples_per_sec": round(steps_per_sec * batch, 3),
                 "flops_per_step": flops_per_step or None,
@@ -349,7 +374,7 @@ def bench_train(gen, disc):
             try:
                 import jax.numpy as jnp
                 disc_bf16 = disc.clone(branch3d_dtype=jnp.bfloat16)
-                sps_bf16, _, _, _ = _bench_train_at_batch(
+                sps_bf16, _, _, _, _ = _bench_train_at_batch(
                     gen, disc_bf16, batch, mask_flat, prep, reps=TRAIN_REPS)
                 out["gan_steps_per_sec_d3d_bf16"] = round(sps_bf16, 4)
             except Exception as e:
@@ -369,8 +394,8 @@ def _bench_train_throughput(gen, disc, mask_flat, prep, batch: int = 128):
     fail to compile on one v5e). BENCH_FULL only. Errors are REPORTED, not
     swallowed (ADVICE r2)."""
     try:
-        sps, _, _, _ = _bench_train_at_batch(gen, disc, batch, mask_flat,
-                                             prep, reps=10)
+        sps, _, _, _, _ = _bench_train_at_batch(gen, disc, batch, mask_flat,
+                                                prep, reps=10)
         return {"gan_samples_per_sec_max": round(sps * batch, 3),
                 "gan_max_batch": batch}
     except Exception as e:
@@ -392,14 +417,17 @@ def bench_families():
     masked_np, masks_np = _event_batch(mask_flat, N_EVENTS_FAM)
     masked, masks = jnp.asarray(masked_np), jnp.asarray(masks_np)
     out = {}
+    # simple runs FIRST (VERDICT r4 item 2: its round-4 driver number was
+    # 13% below the self-measure; fresh ordering + per-row spread make any
+    # inter-stage interference visible in the artifact itself).
     # shared_batch_mask: the stis gauge workload's mask is one fixed station
     # set — same declaration the flagship makes via idw_shared_batch_mask
-    for name, gen in (("dk", DKGenerator(length=T, shared_batch_mask=True)),
-                      ("stdk", STDKGenerator(length=T,
-                                             shared_batch_mask=True)),
-                      ("simple", SimpleGenerator(in_channels=1,
+    for name, gen in (("simple", SimpleGenerator(in_channels=1,
                                                  out_channels=1,
-                                                 base_channels=BASE))):
+                                                 base_channels=BASE)),
+                      ("dk", DKGenerator(length=T, shared_batch_mask=True)),
+                      ("stdk", STDKGenerator(length=T,
+                                             shared_batch_mask=True))):
         try:
             variables = _cpu(lambda g=gen: g.init(
                 jax.random.key(0),
@@ -408,8 +436,10 @@ def bench_families():
             fn, flops = _aot(
                 recon.compiled_batch_fn(EVENT_T, n_events=N_EVENTS_FAM),
                 masked, masks)
-            rate = _time_events(fn, masked, masks, N_EVENTS_FAM, reps=REPS)
+            rate, spread = _time_events(fn, masked, masks, N_EVENTS_FAM,
+                                        reps=REPS)
             out[f"{name}_events_per_sec"] = round(rate, 4)
+            out[f"{name}_events_per_sec_spread"] = spread
             if flops:  # scan-body-once correction, as in bench_inference
                 out[f"{name}_flops_per_event"] = (
                     flops * recon.n_scan_chunks(EVENT_T, N_EVENTS_FAM)
@@ -417,6 +447,70 @@ def bench_families():
         except Exception as e:
             traceback.print_exc(file=sys.stderr)
             out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
+
+
+def bench_family_train():
+    """Per-family TRAIN steps/sec (VERDICT r4 item 1): the reference trains
+    every family through the same model-agnostic loop
+    (scripts/train.py:98-174) with rec-loss-only configs for dk/stdk
+    (config/dk.json, stdk_gauge.json: use_gan=0, k1_weight=0, Adam b1=0) —
+    this framework had zero training-perf evidence outside the GAN step.
+    dk/stdk run the round-5 differentiable fused VMEM tail (custom VJP,
+    ops/pallas/dk_mlp_kernel.py); simple trains with BatchNorm updates."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.models import (DKGenerator, STDKGenerator,
+                                   SimpleGenerator)
+    from p2igan_tpu.training.steps import TrainState, build_train_step, \
+        make_optimizer
+
+    batch = TRAIN_BATCHES[0]
+    mask_flat = _gauge_mask_np(1)
+    masks = jnp.asarray(np.broadcast_to(
+        mask_flat.reshape(1, 1, H, W, 1), (batch, T, H, W, 1)).copy())
+    frames = jax.random.uniform(jax.random.key(3), (batch, T, H, W, 1))
+    masked = frames * masks
+    out = {}
+    for name, gen in (("dk", DKGenerator(length=T, shared_batch_mask=True)),
+                      ("stdk", STDKGenerator(length=T,
+                                             shared_batch_mask=True)),
+                      ("simple", SimpleGenerator(in_channels=1,
+                                                 out_channels=1,
+                                                 base_channels=BASE))):
+        try:
+            def init(g=gen):
+                gv = dict(g.init(jax.random.key(0),
+                                 jnp.zeros((1, T, H, W, 1), jnp.float32),
+                                 masks[:1]))
+                return gv
+            gv = _cpu(init)
+            opt = make_optimizer({"lr": 1e-4})
+            gp = gv.pop("params")
+            state = TrainState(step=np.zeros((), np.int32), gen_params=gp,
+                               gen_extra=gv, opt_g=opt.init(gp))
+            step_fn = build_train_step(gen, None, opt, None, use_gan=False,
+                                       k1_alpha=0.0, donate=False)
+            step_c, flops = _aot(step_fn, state, frames, masked, masks)
+            state, metrics = step_c(state, frames, masked, masks)
+            assert np.isfinite(float(metrics["loss"]))
+            rates = []
+            for _ in range(N_BLOCKS):
+                t0 = time.time()
+                for _ in range(TRAIN_REPS):
+                    state, metrics = step_c(state, frames, masked, masks)
+                float(metrics["loss"])
+                rates.append(TRAIN_REPS / (time.time() - t0))
+            out[f"{name}_train_steps_per_sec"] = round(
+                float(np.median(rates)), 4)
+            out[f"{name}_train_steps_per_sec_spread"] = [
+                round(min(rates), 4), round(max(rates), 4)]
+            if flops:
+                out[f"{name}_train_flops_per_step"] = flops
+        except Exception as e:
+            traceback.print_exc(file=sys.stderr)
+            out[f"{name}_train_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
@@ -439,6 +533,7 @@ def main() -> None:
     _stage("inference", lambda: bench_inference(gen, variables))
     _stage("train", lambda: bench_train(gen, P2IDiscriminator(in_channels=T)))
     _stage("families", bench_families)
+    _stage("family_train", bench_family_train)
 
 
 if __name__ == "__main__":

@@ -33,8 +33,9 @@ class STDKGenerator(nn.Module):
     num_basis_space: Tuple[int, ...] = (10, 19, 37, 73)
     num_basis_time: Tuple[int, ...] = (10, 19, 37, 73)
     compute_dtype: Any = jnp.float32
-    # Serving-only fused VMEM tail (see models/dk.py / ops/pallas/dk_mlp_kernel)
-    fused_tail: bool = False
+    # Fused VMEM tail, differentiable since round 5; ``None`` = auto
+    # (see models/dk.py / ops/pallas/dk_mlp_kernel)
+    fused_tail: bool | None = None
     # Gauge workload declaration (see models/dk.py::select_visible)
     shared_batch_mask: bool = False
 
@@ -77,8 +78,10 @@ class STDKGenerator(nn.Module):
         w_t = mlp.fc1[K_s:K_s + K_t]
         w_z = mlp.fc1[K_s + K_t:]
 
-        if self.fused_tail:
-            from ..ops.idw import default_use_pallas
+        from ..ops.idw import default_use_pallas
+        fused = (default_use_pallas(None) if self.fused_tail is None
+                 else self.fused_tail)
+        if fused:
             from ..ops.pallas.dk_mlp_kernel import (mlp_tail_fused,
                                                     mlp_tail_fused_padded,
                                                     pad_hidden,

@@ -98,7 +98,8 @@ def test_bench_small_staged_output():
     lines = [json.loads(ln) for ln in out.stdout.strip().splitlines()]
     assert [ln["stages_done"] for ln in lines] == [
         ["inference"], ["inference", "train"],
-        ["inference", "train", "families"]]
+        ["inference", "train", "families"],
+        ["inference", "train", "families", "family_train"]]
     # each staged line is a complete superset of the previous: whichever
     # line is last when a timeout hits carries every finished stage
     for prev, cur in zip(lines, lines[1:]):
@@ -109,6 +110,13 @@ def test_bench_small_staged_output():
     for key in ("events_per_sec_batched", "mfu_inference",
                 "gan_steps_per_sec", "gan_samples_per_sec", "mfu_train",
                 "dk_events_per_sec", "stdk_events_per_sec",
-                "simple_events_per_sec"):
+                "simple_events_per_sec", "dk_train_steps_per_sec",
+                "stdk_train_steps_per_sec", "simple_train_steps_per_sec"):
         assert final.get(key), key
+    # run-to-run spread rows (VERDICT r4 item 8): [min, max] around medians
+    for key in ("events_per_sec_spread", "gan_steps_per_sec_spread",
+                "simple_events_per_sec_spread",
+                "dk_train_steps_per_sec_spread"):
+        lo, hi = final[key]
+        assert 0 < lo <= hi
     assert not [k for k in final if k.endswith("_error")]

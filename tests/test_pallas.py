@@ -512,6 +512,84 @@ def test_dk_mlp_tail_fused_matches_reference(rng):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_dk_mlp_tail_fused_gradients_match_reference(rng):
+    """The custom-VJP Pallas backward (VERDICT r4 item 1: dk/stdk TRAINING)
+    vs plain autodiff of the jnp oracle — all eight inputs, at deliberately
+    unaligned sizes so the row-padding gradients (zero-slices) are covered."""
+    from p2igan_tpu.ops.pallas.dk_mlp_kernel import (mlp_tail_fused,
+                                                     mlp_tail_reference)
+
+    HW, h, J = 300, 100, 11
+    args = (
+        jnp.asarray(rng.normal(size=(HW, h)).astype(np.float32)),       # phi
+        jnp.asarray(rng.normal(size=(J, h)).astype(np.float32)),        # off
+        jnp.asarray(rng.normal(size=(h, h)).astype(np.float32) * 0.1),  # fc2
+        jnp.asarray(rng.normal(size=(h,)).astype(np.float32)),          # b2
+        jnp.asarray(rng.normal(size=(h, h)).astype(np.float32) * 0.1),  # fc3
+        jnp.asarray(rng.normal(size=(h,)).astype(np.float32)),          # b3
+        jnp.asarray(rng.normal(size=(h,)).astype(np.float32)),          # fc4
+        jnp.float32(0.37),                                              # b4
+    )
+    # a fixed cotangent-shaping loss so every output element contributes
+    w = jnp.asarray(rng.normal(size=(J, HW)).astype(np.float32))
+
+    def loss_pallas(*a):
+        return jnp.sum(w * mlp_tail_fused(*a, use_pallas=True))
+
+    def loss_ref(*a):
+        return jnp.sum(w * mlp_tail_reference(*a))
+
+    g_pallas = jax.grad(loss_pallas, argnums=tuple(range(8)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    names = ["phi", "off", "fc2", "b2", "fc3", "b3", "fc4", "b4"]
+    for name, gp, gr in zip(names, g_pallas, g_ref):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("family", ["dk", "stdk"])
+def test_dk_fused_tail_training_gradients_match_scan(rng, family, monkeypatch):
+    """Model-level: grads through the fused Pallas tail (the round-5
+    TRAINING path on TPU) == grads through the lax.scan formulation, w.r.t.
+    params AND the masked input frames. default_use_pallas is forced True so
+    the interpreted kernel (not the jnp fallback) is what's differentiated."""
+    from p2igan_tpu.models import DKGenerator, STDKGenerator
+    monkeypatch.setattr("p2igan_tpu.ops.idw.default_use_pallas",
+                        lambda use_pallas: True if use_pallas is None
+                        else use_pallas)
+
+    b, t, H, W = 2, 4, 12, 10
+    kw = dict(length=t, visible_k=7, num_basis_space=(4, 6))
+    if family == "dk":
+        gen_scan = DKGenerator(fused_tail=False, **kw)
+        gen_fused = DKGenerator(fused_tail=True, **kw)
+    else:
+        kw["num_basis_time"] = (2, 3)
+        gen_scan = STDKGenerator(fused_tail=False, **kw)
+        gen_fused = STDKGenerator(fused_tail=True, **kw)
+    masks = (rng.random((b, t, H, W, 1)) < 0.4).astype(np.float32)
+    masks[..., :1, :, :, :] = 1.0
+    frames = rng.random((b, t, H, W, 1)).astype(np.float32)
+    masked = jnp.asarray(frames * masks)
+    masks = jnp.asarray(masks)
+    variables = gen_scan.init(jax.random.key(0), masked, masks)
+    tgt = jnp.asarray(rng.random((b, t, H, W, 1)).astype(np.float32))
+
+    def loss(gen):
+        def fn(params, x):
+            preds = gen.apply(params, x, masks)
+            return jnp.mean(jnp.abs(preds - tgt))
+        return fn
+
+    (gp_s, gx_s) = jax.grad(loss(gen_scan), argnums=(0, 1))(variables, masked)
+    (gp_f, gx_f) = jax.grad(loss(gen_fused), argnums=(0, 1))(variables, masked)
+    for a, b_ in zip(jax.tree.leaves(gp_s), jax.tree.leaves(gp_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_f),
+                               rtol=5e-4, atol=5e-5)
+
+
 @pytest.mark.parametrize("family", ["dk", "stdk"])
 def test_dk_fused_tail_model_matches_scan_path(rng, family):
     """fold_for_inference (fused VMEM tail) == training scan path."""

@@ -129,6 +129,56 @@ def test_single_forward_step_equivalence():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("family", ["p2igan", "dk"])
+def test_overfit_one_batch_reduces_loss(family):
+    """Optimization LEARNS (VERDICT r4 item 4a): repeated steps on one fixed
+    small batch must drive the weighted-L1 rec loss well below its initial
+    value. Parity tests pin per-step arithmetic against the reference but
+    would pass with a sign-flipped update; this catches exactly that class.
+    Calibrated on CPU: p2igan 5.64 -> 1.25 in 150 steps, dk 3.99 -> 1.25 in
+    200 (plateau ~1.25 is the capacity floor for a noise target at this
+    size) — thresholds carry ~30% margin."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.models import DKGenerator, P2IGenerator
+    from p2igan_tpu.training.steps import (TrainState, build_train_step,
+                                           make_optimizer)
+
+    t, hw = 4, 16
+    rng = np.random.default_rng(3)
+    masks_np = (rng.random((2, t, hw, hw, 1)) < 0.2).astype(np.float32)
+    masks_np[:, :, 0, :2] = 1.0  # >= visible_k observed pixels for dk
+    frames = jnp.asarray(rng.random((2, t, hw, hw, 1)).astype(np.float32))
+    masks = jnp.asarray(masks_np)
+    masked = frames * masks
+
+    if family == "p2igan":
+        gen = P2IGenerator(H=hw, W=hw, length=t, num_res=1, base_channels=16,
+                           idw_max_points=64, idw_chunk=256)
+        nsteps = 150
+    else:
+        gen = DKGenerator(length=t, visible_k=7, num_basis_space=(4, 6))
+        nsteps = 200
+    gv = dict(gen.init(jax.random.key(0), masked, masks))
+    opt = make_optimizer({"lr": 1e-3})
+    gp = gv.pop("params")
+    state = TrainState(step=jnp.zeros((), jnp.int32), gen_params=gp,
+                       gen_extra=gv, opt_g=opt.init(gp))
+    step = build_train_step(gen, None, opt, None, use_gan=False,
+                            k1_alpha=0.0, donate=False)
+    state, m = step(state, frames, masked, masks)
+    initial = float(m["rec_loss"])
+    best = initial
+    for _ in range(nsteps - 1):
+        state, m = step(state, frames, masked, masks)
+        best = min(best, float(m["rec_loss"]))
+    assert initial > 3.0, f"unexpectedly easy start: {initial}"
+    assert best < 0.45 * initial, (initial, best)
+    assert best < 1.6, (initial, best)
+
+
+@pytest.mark.slow
 def test_fused_disc_forward_equivalence():
     """Concatenated fake+real D forward == two separate forwards.
 

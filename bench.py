@@ -60,7 +60,8 @@ _SMALL = bool(os.environ.get("BENCH_SMALL"))
 EVENT_T = 8 if _SMALL else 64   # frames per event (16 windows at step 4)
 N_EVENTS = 2 if _SMALL else 32  # measured ladder: 8 -> 16 (+2%) -> 32 (+1%,
 # 132.3 ev/s); program size is N-independent (lax.scan over window chunks)
-N_EVENTS_FAM = 2 if _SMALL else 8  # per-family rows: same protocol
+N_EVENTS_FAM = 2 if _SMALL else 8  # per-family rows: same protocol (simple
+# measures ~+0.5 ev/s at the headline's 32-event geometry — PROFILE.md r5)
 H = W = 32 if _SMALL else 128
 T = 4 if _SMALL else 16
 BASE = 16 if _SMALL else 64

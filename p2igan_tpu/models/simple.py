@@ -82,6 +82,14 @@ class SimpleGenerator(nn.Module):
     # dense middle convs are fine (~193 TF/s). See _conv3d_im2col and the
     # dec2 S-matrix below. Forward-only; training keeps the plain convs.
     serving: bool = False
+    # Opt-in: the fused Pallas dec2 stencil kernel (ops/pallas/dec2_stencil).
+    # Its standalone microbench beats the S-matrix, but in the full serving
+    # program it LOSES end-to-end — 39.4 vs 45.7 ev/s measured on v5e
+    # (round-5 A/B, PROFILE.md "simple dec2 regression"): the (J,3,2,Q)
+    # intermediate + shift-align/unpack epilogue costs more HBM traffic and
+    # relayouts than the S-matrix's tap planes. Kept for its f32 accuracy
+    # (9.1e-7 vs the conv's bf16-grade 5e-3) and as the measured dead end.
+    dec2_pallas: bool = False
 
     def fold_for_inference(self, variables):
         """Serving-path hook (same protocol as P2IGenerator/DKGenerator):
@@ -126,8 +134,11 @@ class SimpleGenerator(nn.Module):
         k2 = self.param("dec2_kernel", _torch_conv_init, (3, 3, 3, hidden, self.out_channels))
         b2 = self.param("dec2_bias", nn.initializers.zeros, (self.out_channels,))
         if self.serving and self.out_channels == 1:
-            from ..ops.pallas.dec2_stencil import conv3d_cout1_sigmoid
-            return conv3d_cout1_sigmoid(x, k2, b2)
+            if self.dec2_pallas:
+                from ..ops.pallas.dec2_stencil import conv3d_cout1_sigmoid
+                return conv3d_cout1_sigmoid(x, k2, b2)
+            y = self._dec2_smatrix(x, k2.astype(x.dtype), b2.astype(x.dtype))
+            return jax.nn.sigmoid(y)
         x = conv3d(x, k2.astype(x.dtype), padding=1, bias=b2.astype(x.dtype))
         return jax.nn.sigmoid(x)
 

@@ -293,6 +293,55 @@ def cmd_infer(args) -> None:
     print(f"ds_stack:   {timeit(b, x, reps=args.reps) * 1e3:.3f} ms", flush=True)
 
 
+# --------------------------------------------------------------------------
+# bf16: narrow decoder-dtype serving experiment (VERDICT r4 item 5)
+# --------------------------------------------------------------------------
+
+def cmd_bf16(args) -> None:
+    """bf16 activations ONLY inside the conv pyramid, f32 preserved at the
+    IDW combine and scatter boundaries.
+
+    ``P2IGenerator.compute_dtype`` casts AFTER the InputBlock (the f32
+    Pallas multi-window combine keeps its layout) and the output head casts
+    back to f32 before tanh — exactly the narrow scope the round-4 serving
+    trace points at (~1.0 ms/event of f32<->bf16 conversion fusions glued
+    to the decoder convs). The round-2 end-to-end-bf16 negative predates
+    the multi-window combine kernel and the dense grouped-conv expansion;
+    this measures the CURRENT program. Also reports output error vs f32
+    (outputs are x255-scaled frames)."""
+    import jax
+    import jax.numpy as jnp
+
+    from p2igan_tpu.inference.driver import SlidingWindowReconstructor
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    mask_flat = gauge_mask(0)
+    gen, variables = build_flagship(mask_flat)
+    masked_np, masks_np = build_events(mask_flat, args.events)
+    masked, masks = jnp.asarray(masked_np), jnp.asarray(masks_np)
+
+    outs = {}
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        g = gen.clone(compute_dtype=dtype)
+        fold_gen, fold_vars = g.fold_for_inference(variables)
+        recon = SlidingWindowReconstructor(
+            fold_gen, fold_vars, stride=16, overlap=12,
+            window_batch=args.window_batch, output_scale=255.0,
+            t_bucket=EVENT_T)
+        fn = recon.compiled_batch_fn(EVENT_T, n_events=args.events)
+        sec = timeit(fn, masked, masks, reps=args.reps)
+        rate = args.events / sec
+        outs[name] = (rate, np.asarray(fn(masked, masks), np.float32))
+        print(f"compute_dtype={name}  wb={args.window_batch}  "
+              f"{rate:8.2f} ev/s", flush=True)
+
+    ref, test = outs["f32"][1], outs["bf16"][1]
+    err = test - ref
+    print(f"bf16 vs f32 (x255 scale): rmse={float(np.sqrt((err**2).mean())):.4f}"
+          f"  max_abs={float(np.abs(err).max()):.4f}"
+          f"  speedup={outs['bf16'][0] / outs['f32'][0]:.4f}x", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -314,6 +363,12 @@ def main() -> None:
     p = sub.add_parser("infer", help="single-event ladder + downsample A/B")
     p.add_argument("--reps", type=int, default=20)
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("bf16", help="narrow bf16-decoder serving experiment")
+    p.add_argument("--events", type=int, default=32)
+    p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--window-batch", type=int, default=8)
+    p.set_defaults(fn=cmd_bf16)
 
     args = ap.parse_args()
     args.fn(args)

@@ -85,6 +85,13 @@ def test_simple_generator_serving_parity(rng):
     out = sgen.apply(svars, masked, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+    # serving DEFAULT must stay the S-matrix dec2: the fused Pallas stencil
+    # kernel measured 6 ev/s slower end-to-end (PROFILE.md round-5 "simple
+    # dec2 regression") and is opt-in via dec2_pallas
+    assert not sgen.dec2_pallas
+    out_pl = sgen.clone(dec2_pallas=True).apply(svars, masked, mask)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.slow

@@ -45,11 +45,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 _WORKDIR = Path(os.environ.get("P2I_SMOKE_DIR", "/tmp/p2i_smoke"))
 os.environ["P2IGAN_TRACKING_DIR"] = str(_WORKDIR / "mlruns")
 
-H = W = 128
-T = 16
-
-
-def build_data(root: Path, n_events: int, event_t: int, seed: int = 0):
+def build_data(root: Path, n_events: int, event_t: int, seed: int = 0,
+               H: int = 128, W: int = 128, T: int = 16):
     from p2igan_tpu.data.fake import write_gauge_mask, write_train_zarr
 
     train_zarr = root / "nimrod_train.zarr"
@@ -58,12 +55,14 @@ def build_data(root: Path, n_events: int, event_t: int, seed: int = 0):
         write_train_zarr(train_zarr, n_events=n_events, T=event_t, H=H, W=W,
                          window=T, stride=1, seed=seed + 2)
     if not mask_txt.exists():
-        write_gauge_mask(mask_txt, H=H, W=W, seed=seed + 3)
+        write_gauge_mask(mask_txt, H=H, W=W, seed=seed + 3,
+                         n_gauges=min(79, H * W // 16))
     return train_zarr, mask_txt
 
 
 def smoke_config(train_zarr: Path, mask_txt: Path, steps: int,
-                 log_step: int) -> dict:
+                 log_step: int, H: int = 128, W: int = 128, T: int = 16,
+                 batch: int = 12) -> dict:
     from p2igan_tpu.config import load_config
 
     cfg = load_config(Path(_repo) / "p2igan_tpu/config/"
@@ -71,11 +70,15 @@ def smoke_config(train_zarr: Path, mask_txt: Path, steps: int,
     cfg["save_dir"] = str(_WORKDIR / "weights")
     cfg["experiment_name"] = "convergence-smoke"
     cfg["run_name"] = "smoke"
-    cfg["data"]["train"]["data_root"] = str(train_zarr)
+    # reference constraint: base_channels == 4 * sample_length
+    cfg["model"]["base_channels"] = 4 * T
+    cfg["data"]["train"].update({"data_root": str(train_zarr), "w": W,
+                                 "h": H, "sample_length": T})
     cfg["data"]["train"]["mask"]["file"] = str(mask_txt)
     cfg["data"].pop("test", None)  # train-only smoke
     cfg["train"]["iterations"] = steps
     cfg["train"]["log_step"] = log_step
+    cfg["train"]["batch_size"] = batch
     cfg["train"]["use_validation"] = False
     cfg["train"]["use_test"] = False
     return cfg
@@ -102,6 +105,13 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=48,
                     help="fake train events (sized for ~2 epochs)")
     ap.add_argument("--event-frames", type=int, default=80)
+    ap.add_argument("--size", type=int, default=128, help="spatial H=W")
+    ap.add_argument("--frames", type=int, default=16,
+                    help="sample_length (base_channels = 4x this)")
+    ap.add_argument("--batch", type=int, default=12)
+    ap.add_argument("--learn-ratio", type=float, default=0.7,
+                    help="LEARNS iff tail_mean < ratio * first (1.0+ "
+                         "disables the gate for harness smoke tests)")
     ap.add_argument("--append", action="store_true",
                     help="append the trajectory summary to BASELINE.md and "
                          "copy the final example image to docs/")
@@ -118,8 +128,11 @@ def main() -> None:
     from p2igan_tpu.training.trainer import Trainer
 
     train_zarr, mask_txt = build_data(_WORKDIR / "data", args.events,
-                                      args.event_frames)
-    cfg = smoke_config(train_zarr, mask_txt, args.steps, args.log_step)
+                                      args.event_frames, H=args.size,
+                                      W=args.size, T=args.frames)
+    cfg = smoke_config(train_zarr, mask_txt, args.steps, args.log_step,
+                       H=args.size, W=args.size, T=args.frames,
+                       batch=args.batch)
     print(f"backend={jax.default_backend()}  steps={args.steps}  "
           f"store={train_zarr}", flush=True)
 
@@ -140,7 +153,8 @@ def main() -> None:
     print("\nrec-loss trajectory (step, value):", flush=True)
     for s, v in traj:
         print(f"  {s:5d}  {v:.4f}", flush=True)
-    verdict = "LEARNS" if tail_mean < 0.7 * first else "NO-IMPROVEMENT"
+    verdict = ("LEARNS" if tail_mean < args.learn_ratio * first
+               else "NO-IMPROVEMENT")
     print(f"\nfirst={first:.4f}  last={last:.4f}  tail_mean={tail_mean:.4f}"
           f"  ratio={tail_mean / first:.3f}  [{verdict}]  "
           f"({wall:.0f}s wall)", flush=True)

@@ -120,3 +120,24 @@ def test_bench_small_staged_output():
         lo, hi = final[key]
         assert 0 < lo <= hi
     assert not [k for k in final if k.endswith("_error")]
+
+
+@pytest.mark.slow
+def test_convergence_smoke_tiny(tmp_path):
+    """scripts/convergence_smoke.py end-to-end at toy size on CPU: the
+    real CLI training path records a rec-loss trajectory, renders an
+    example image, and the harness parses/judges it (VERDICT r4 item 4b;
+    the on-chip 400-step run's trajectory lives in BASELINE.md)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               P2I_SMOKE_DIR=str(tmp_path / "smoke"))
+    out = subprocess.run(
+        [sys.executable, "scripts/convergence_smoke.py", "--steps", "6",
+         "--log-step", "2", "--events", "4", "--event-frames", "12",
+         "--size", "32", "--frames", "4", "--batch", "2",
+         "--learn-ratio", "1e9", "--fresh"],
+        env=env, check=True, capture_output=True, text=True, timeout=420)
+    assert "rec-loss trajectory" in out.stdout
+    assert "LEARNS" in out.stdout  # ratio gate disabled: parse-path check
+    runs = list((tmp_path / "smoke" / "mlruns").glob(
+        "convergence-smoke/*/metrics.jsonl"))
+    assert runs, out.stdout
